@@ -1,0 +1,11 @@
+from loco_edit_tpu.core.rng import RngStream, seed_everything
+from loco_edit_tpu.core.mesh import make_mesh, local_mesh, PROBE_AXIS, DATA_AXIS
+
+__all__ = [
+    "RngStream",
+    "seed_everything",
+    "make_mesh",
+    "local_mesh",
+    "PROBE_AXIS",
+    "DATA_AXIS",
+]

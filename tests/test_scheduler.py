@@ -1,0 +1,145 @@
+"""Scheduler fidelity tests.
+
+Grid semantics and alpha-bar tables are validated against an independent
+torch (CPU) computation of the same definitions, plus algebraic identities
+(step-inverse round trip, posterior-sigma closed form).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from loco_edit_tpu.diffusion import (
+    LinspaceDDIM,
+    NoiseSchedule,
+    ddim_step,
+    ddpm_step_learned_sigma,
+    pmp,
+)
+
+
+def test_linear_alphas_cumprod_matches_torch_float64():
+    torch = pytest.importorskip("torch")
+    betas_t = torch.linspace(1e-4, 0.02, 1000, dtype=torch.float64)
+    ab_t = torch.cumprod(1.0 - betas_t, dim=0).numpy()
+    sched = NoiseSchedule.linear()
+    np.testing.assert_allclose(sched.alphas_cumprod, ab_t, rtol=1e-12)
+
+
+def test_cosine_schedule_matches_torch():
+    torch = pytest.importorskip("torch")
+    import math
+
+    timesteps = 1000
+    steps = timesteps + 1
+    x = torch.linspace(0, timesteps, steps, dtype=torch.float64)
+    ab = torch.cos(((x / timesteps) + 0.008) / 1.008 * math.pi * 0.5) ** 2
+    ab = ab / ab[0]
+    betas = torch.clip(1 - (ab[1:] / ab[:-1]), 0, 0.999)
+    sched = NoiseSchedule.cosine(timesteps)
+    np.testing.assert_allclose(sched.betas, betas.numpy(), rtol=1e-12)
+
+
+def test_generation_grid_semantics():
+    dd = LinspaceDDIM()
+    n = 100
+    g = np.linspace(0, 1, n) * 999.0
+    grid = dd.generation_grid(n)
+    assert len(grid) == n - 1
+    np.testing.assert_allclose(grid.t, g[1:][::-1].astype(np.float32))
+    np.testing.assert_allclose(grid.t_next, g[:-1][::-1].astype(np.float32))
+    assert grid.t[0] == np.float32(999.0)
+    assert grid.t_next[-1] == 0.0
+    # alpha-bar is looked up at floor(t)
+    ab = dd.schedule.alphas_cumprod
+    np.testing.assert_allclose(grid.alpha_bar, ab[grid.t.astype(np.int64)].astype(np.float32))
+
+
+def test_inversion_grid_stops_one_early_and_shifts():
+    dd = LinspaceDDIM()
+    n = 100
+    g = np.linspace(0, 1, n) * 999.0 + 1e-6
+    grid = dd.inversion_grid(n)
+    # the reference loop executes n-2 updates (edit.py:2146-2148)
+    assert len(grid) == n - 2
+    np.testing.assert_allclose(grid.t, g[:-2].astype(np.float32))
+    np.testing.assert_allclose(grid.t_next, g[1:-1].astype(np.float32))
+    # final inversion level is g_{n-2}, NOT t_max
+    assert abs(float(grid.t_next[-1]) - g[-2]) < 1e-3
+
+
+def test_nearest_step_index_matches_reference_argmin():
+    dd = LinspaceDDIM()
+    # edit_t = 0.6 on 100 steps: argmin |t - 600| over descending grid
+    idx = dd.nearest_step_index(100, 0.6)
+    grid = dd.generation_grid(100)
+    assert idx == int(np.argmin(np.abs(grid.t - 600.0)))
+    assert abs(float(grid.t[idx]) - 600.0) <= (999.0 / 99.0) / 2 + 1e-3
+
+
+def test_boost_eta_flags():
+    dd = LinspaceDDIM()
+    eta = dd.boost_eta_flags(100, 0.2)
+    b = dd.nearest_step_index(100, 0.2)
+    assert eta[b - 1] == 0.0 and eta[b] == 1.0 and eta[-1] == 1.0
+    assert np.all(dd.boost_eta_flags(100, 0.0) == 0.0)
+
+
+def test_ddim_step_ode_is_algebraically_invertible():
+    key = jax.random.key(0)
+    x = jax.random.normal(key, (2, 8, 8, 3), jnp.float32)
+    et = jax.random.normal(jax.random.fold_in(key, 1), x.shape, jnp.float32)
+    ab_t, ab_n = 0.3, 0.7
+    x_next, _ = ddim_step(x, et, ab_t, ab_n, eta=0.0)
+    x_back, _ = ddim_step(x_next, et, ab_n, ab_t, eta=0.0)
+    np.testing.assert_allclose(np.asarray(x_back), np.asarray(x), atol=1e-5)
+
+
+def test_ddim_step_eta_sigma_closed_form():
+    x = jnp.ones((1, 4, 4, 3))
+    et = jnp.zeros_like(x)
+    noise = jnp.ones_like(x)
+    ab_t, ab_n = 0.3, 0.7
+    x_next, _ = ddim_step(x, et, ab_t, ab_n, eta=1.0, noise=noise)
+    sigma = np.sqrt((1 - ab_t / ab_n) * (1 - ab_n) / (1 - ab_t))
+    expected = np.sqrt(ab_n) * (1.0 / np.sqrt(ab_t)) + sigma
+    np.testing.assert_allclose(np.asarray(x_next), expected, rtol=1e-6)
+
+
+def test_ddim_step_eta_zero_matches_no_noise_branch():
+    key = jax.random.key(3)
+    x = jax.random.normal(key, (1, 8, 8, 3))
+    et = jax.random.normal(jax.random.fold_in(key, 7), x.shape)
+    a, b = 0.2, 0.9
+    x0, _ = ddim_step(x, et, a, b, eta=0.0, noise=jnp.ones_like(x))
+    x1, _ = ddim_step(x, et, a, b)
+    np.testing.assert_allclose(np.asarray(x0), np.asarray(x1), atol=1e-6)
+
+
+def test_pmp_definition():
+    x = jnp.full((1, 2, 2, 1), 2.0)
+    et = jnp.full_like(x, 0.5)
+    ab = 0.25
+    got = pmp(x, et, ab)
+    expected = (2.0 - 0.5 * np.sqrt(0.75)) / 0.5
+    np.testing.assert_allclose(np.asarray(got), expected, rtol=1e-6)
+
+
+def test_learned_sigma_step():
+    x = jnp.full((1, 2, 2, 1), 1.0)
+    et = jnp.full_like(x, 0.2)
+    logvar = jnp.full_like(x, -2.0)
+    noise = jnp.full_like(x, 1.0)
+    beta_t, ab_t = 0.01, 0.5
+    got = ddpm_step_learned_sigma(x, et, logvar, beta_t, ab_t, noise)
+    mean = (1.0 - 0.01 / np.sqrt(0.5) * 0.2) / np.sqrt(0.99)
+    np.testing.assert_allclose(np.asarray(got), mean + np.exp(-1.0), rtol=1e-6)
+
+
+def test_inversion_generation_grids_share_base_points():
+    dd = LinspaceDDIM()
+    gen = dd.generation_grid(50)
+    inv = dd.inversion_grid(50)
+    # same underlying linspace points modulo the 1e-6 inversion shift
+    np.testing.assert_allclose(np.sort(inv.t_next), np.sort(gen.t)[:-1], atol=1e-3)
