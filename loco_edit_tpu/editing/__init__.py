@@ -1,0 +1,14 @@
+from loco_edit_tpu.editing.pullback import EditBasis, subspace_iteration
+from loco_edit_tpu.editing.nullspace import null_space_project, normalize_rows
+from loco_edit_tpu.editing.walk import x_space_guidance_strip
+from loco_edit_tpu.editing.directions import save_directions, load_directions
+
+__all__ = [
+    "EditBasis",
+    "subspace_iteration",
+    "null_space_project",
+    "normalize_rows",
+    "x_space_guidance_strip",
+    "save_directions",
+    "load_directions",
+]

@@ -1,0 +1,164 @@
+"""Matrix-free Jacobian subspace iteration — the core numeric kernel.
+
+Finds the top right-singular subspace of J = d f(x) / d x (f is the posterior
+mean predictor, optionally mask-weighted) without materializing J, by
+alternating JVP / VJP sweeps with a small-Gram SVD ("Algorithm 1" of
+arXiv 2409.02374; reference implementation
+src/modules/edit.py:2406-2504 and three near-identical engine copies).
+
+TPU-native redesign (the source of the headline speedup):
+  - All `rank` probes are evaluated as ONE batched JVP via `jax.vmap` over
+    `jax.jvp` — the probe axis becomes a device batch dim that shards across
+    the mesh, where the reference loops host-chunks of 5 probes serially
+    through `torch.func.jacfwd` (edit.py:2419,2448-2455).
+  - The VJP sweep shares a single primal forward: one `jax.vjp` linearization,
+    then a vmapped pullback over the `rank` cotangents, where the reference
+    re-runs `torch.autograd.functional.jacobian` per iteration (edit.py:2479).
+  - The (rank x rank) Gram eigendecomposition replaces the (rank x d) thin SVD
+    (d = 196 608 at 256px): identical right-singular subspace, tiny on-device
+    cost, no host detours.
+  - Masking is a multiplicative 0/1 weight on the output instead of boolean
+    gather (edit.py:2388-2390): J -> diag(m) J has the same right-singular
+    subspace and values since (MJ)^T(MJ) = J^T diag(m) J, but keeps shapes
+    static for XLA.
+  - The convergence early-exit (edit.py:2489-2494) is a `lax.while_loop` with
+    an on-device predicate; sign-aligned iterates so the eigh sign ambiguity
+    cannot stall convergence.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass
+class EditBasis:
+    """Result of a subspace iteration.
+
+    u:  (rank, *out_shape) left images J v_i (mask-weighted, zeros off-mask)
+    s:  (rank,) singular-value estimates of J (reference returns sqrt of the
+        singular values of u^T J, edit.py:2500)
+    vT: (rank, d_in) right-singular directions, rows unit-norm
+    iters: iterations executed
+    """
+
+    u: jnp.ndarray
+    s: jnp.ndarray
+    vT: jnp.ndarray
+    iters: jnp.ndarray
+
+
+def init_probes(key: jax.Array, rank: int, d_in: int) -> jnp.ndarray:
+    """Random orthonormal probe matrix (rank, d_in), f32 — the reference's
+    randn + QR initialization (edit.py:2435-2438)."""
+    g = jax.random.normal(key, (d_in, rank), jnp.float32)
+    q, _ = jnp.linalg.qr(g)
+    return q.T
+
+
+def subspace_iteration(
+    f: Callable[[jnp.ndarray], jnp.ndarray],
+    x: jnp.ndarray,
+    key: jax.Array,
+    *,
+    rank: int,
+    mask: jnp.ndarray | None = None,
+    min_iter: int = 10,
+    max_iter: int = 50,
+    tol: float = 1e-4,
+    probe_chunk: int | None = None,
+) -> EditBasis:
+    """Estimate the top-`rank` right-singular subspace of d f / d x at x.
+
+    f: x -> y, shapes static. mask: optional 0/1 (or soft) weight broadcastable
+    to y. probe_chunk: evaluate probes in chunks of this size via lax.map to
+    bound memory (None = all at once).
+    """
+    x = jnp.asarray(x)
+    d_in = x.size
+    in_shape = x.shape
+
+    def fw(z):
+        y = f(z)
+        if mask is not None:
+            y = y * jnp.asarray(mask, y.dtype)
+        return y
+
+    def batched_jvp(v_flat):
+        def one(vi):
+            return jax.jvp(fw, (x,), (vi.reshape(in_shape).astype(x.dtype),))[1]
+        if probe_chunk is None or rank <= probe_chunk:
+            return jax.vmap(one)(v_flat)
+        pad = (-rank) % probe_chunk
+        vp = jnp.pad(v_flat, ((0, pad), (0, 0)))
+        out = jax.lax.map(jax.vmap(one),
+                          vp.reshape(-1, probe_chunk, d_in))
+        return out.reshape(-1, *out.shape[2:])[:rank]
+
+    def batched_vjp(u):
+        _, pull = jax.vjp(fw, x)
+        def one(ui):
+            return pull(ui)[0].reshape(d_in).astype(jnp.float32)
+        if probe_chunk is None or rank <= probe_chunk:
+            return jax.vmap(one)(u)
+        pad = (-rank) % probe_chunk
+        up = jnp.pad(u, [(0, pad)] + [(0, 0)] * (u.ndim - 1))
+        out = jax.lax.map(jax.vmap(one),
+                          up.reshape(-1, probe_chunk, *u.shape[1:]))
+        return out.reshape(-1, d_in)[:rank]
+
+    v0 = init_probes(key, rank, d_in)
+    out_shape = jax.eval_shape(fw, x)
+    u0 = jnp.zeros((rank,) + out_shape.shape, out_shape.dtype)
+    s0 = jnp.zeros((rank,), jnp.float32)
+
+    def body(carry):
+        i, v, _, _, _ = carry
+        u = batched_jvp(v)                       # (rank, *out_shape) = J v
+        vp = batched_vjp(u)                      # (rank, d_in)       = u^T J
+        # right-singular vectors of vp via the (rank x rank) Gram matrix
+        gram = vp @ vp.T                         # f32
+        w, q = jnp.linalg.eigh(gram)             # ascending
+        w = w[::-1]
+        q = q[:, ::-1]
+        s_vp = jnp.sqrt(jnp.maximum(w, 0.0))     # singular values of vp
+        v_new = (q.T @ vp) / jnp.maximum(s_vp, 1e-20)[:, None]
+        # eigh signs are arbitrary; align to previous iterate so the
+        # convergence distance measures subspace movement, not sign flips.
+        dots = jnp.sum(v_new * v, axis=1, keepdims=True)
+        v_new = v_new * jnp.where(dots < 0, -1.0, 1.0)
+        conv = jnp.max(jnp.abs(v_new - v))
+        return i + 1, v_new, u, s_vp, conv
+
+    def cond(carry):
+        i, _, _, _, conv = carry
+        return (i < max_iter) & ((i <= min_iter) | (conv > tol))
+
+    iters, v, u, s_vp, _ = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0), v0, u0, s0, jnp.asarray(jnp.inf, jnp.float32)))
+
+    # reference returns sqrt of the singular values of u^T J ~ sigma^2
+    # (edit.py:2482,2500)
+    return EditBasis(u=u, s=jnp.sqrt(s_vp), vT=v, iters=iters)
+
+
+def pmp_pullback_fn(eps_fn, alpha_bar_t, t) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Build f(x) = PMP(x, t) for a bound denoiser — the `get_x0` closure the
+    subspace iteration differentiates (reference edit.py:2369-2391)."""
+    from loco_edit_tpu.diffusion.scheduler import pmp
+
+    def f(x):
+        return pmp(x, eps_fn(x, t), alpha_bar_t)
+
+    return f
+
+
+def eps_pullback_fn(eps_fn, t) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """f(x) = eps(x, t): the `encoder_decoder_by_et` variant
+    (reference `get_et`, edit.py:2394-2403)."""
+    return lambda x: eps_fn(x, t)

@@ -1,0 +1,146 @@
+"""Editing-algebra tests: subspace iteration vs exact Jacobian SVD, masked
+weighting equivalence, null-space projector algebra, walk strip geometry,
+and probe sharding over the 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from loco_edit_tpu.core.mesh import PROBE_AXIS, make_mesh
+from loco_edit_tpu.editing import (
+    normalize_rows,
+    null_space_project,
+    subspace_iteration,
+    x_space_guidance_strip,
+)
+
+D = 4 * 4 * 3  # flat dimension of the toy state (1,4,4,3)
+SHAPE = (1, 4, 4, 3)
+
+
+def _linear_map_with_gaps(key, d=D):
+    """M = U diag(s) V^T with well-separated singular values."""
+    ku, kv = jax.random.split(key)
+    u, _ = jnp.linalg.qr(jax.random.normal(ku, (d, d)))
+    v, _ = jnp.linalg.qr(jax.random.normal(kv, (d, d)))
+    s = jnp.array([20.0, 15.0, 11.0, 8.0, 6.0] + [1.0] * (d - 5))
+    return u @ jnp.diag(s) @ v.T, s, v
+
+
+def test_linear_recovers_exact_svd():
+    m, s_true, v_true = _linear_map_with_gaps(jax.random.key(0))
+    f = lambda x: (m @ x.reshape(-1)).reshape(SHAPE)
+    x = jax.random.normal(jax.random.key(1), SHAPE)
+    basis = subspace_iteration(f, x, jax.random.key(2), rank=5,
+                               min_iter=5, max_iter=40, tol=1e-6)
+    # reference semantics: s estimates sqrt(singular values of u^T J) where
+    # u = J v, so s ~ sigma (edit.py:2500)
+    np.testing.assert_allclose(np.asarray(basis.s), np.asarray(s_true[:5]), rtol=1e-3)
+    # each recovered row spans the corresponding true right-singular vector
+    overlap = np.abs(np.asarray(basis.vT @ v_true[:, :5]))
+    np.testing.assert_allclose(np.diag(overlap), 1.0, atol=1e-3)
+
+
+def test_nonlinear_matches_jacfwd_svd():
+    w1 = jax.random.normal(jax.random.key(3), (D, D)) / np.sqrt(D)
+    w2 = jax.random.normal(jax.random.key(4), (D, D)) / np.sqrt(D)
+    f = lambda x: (w2 @ jnp.tanh(3.0 * (w1 @ x.reshape(-1)))).reshape(SHAPE)
+    x = jax.random.normal(jax.random.key(5), SHAPE) * 0.1
+    basis = subspace_iteration(f, x, jax.random.key(6), rank=3,
+                               min_iter=10, max_iter=60, tol=1e-7)
+    j = jax.jacfwd(lambda z: f(z).reshape(-1))(x).reshape(D, D)
+    _, s_true, vt_true = jnp.linalg.svd(j)
+    np.testing.assert_allclose(np.asarray(basis.s), np.asarray(s_true[:3]), rtol=2e-2)
+    overlap = np.abs(np.asarray(basis.vT) @ np.asarray(vt_true[:3]).T)
+    np.testing.assert_allclose(np.diag(overlap), 1.0, atol=2e-2)
+
+
+def test_mask_weight_equals_masked_function():
+    m, _, _ = _linear_map_with_gaps(jax.random.key(7))
+    f = lambda x: (m @ x.reshape(-1)).reshape(SHAPE)
+    mask = (jax.random.uniform(jax.random.key(8), SHAPE) > 0.5).astype(jnp.float32)
+    x = jnp.zeros(SHAPE)
+    b1 = subspace_iteration(f, x, jax.random.key(9), rank=4, mask=mask,
+                            min_iter=5, max_iter=30, tol=1e-6)
+    b2 = subspace_iteration(lambda z: f(z) * mask, x, jax.random.key(9), rank=4,
+                            min_iter=5, max_iter=30, tol=1e-6)
+    np.testing.assert_allclose(np.asarray(b1.vT), np.asarray(b2.vT), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(b1.s), np.asarray(b2.s), rtol=1e-5)
+
+
+def test_probe_chunking_matches_unchunked():
+    m, _, _ = _linear_map_with_gaps(jax.random.key(10))
+    f = lambda x: (m @ x.reshape(-1)).reshape(SHAPE)
+    x = jnp.zeros(SHAPE)
+    b1 = subspace_iteration(f, x, jax.random.key(11), rank=5,
+                            min_iter=3, max_iter=20, tol=1e-6)
+    b2 = subspace_iteration(f, x, jax.random.key(11), rank=5, probe_chunk=2,
+                            min_iter=3, max_iter=20, tol=1e-6)
+    np.testing.assert_allclose(np.asarray(b1.vT), np.asarray(b2.vT), atol=1e-5)
+
+
+def test_convergence_early_exit():
+    m, _, _ = _linear_map_with_gaps(jax.random.key(12))
+    f = lambda x: (m @ x.reshape(-1)).reshape(SHAPE)
+    # rank 5 sits on the designed spectral gap (6.0 vs 1.0): convergence rate
+    # (1/6)^2 per sweep, so the loop must exit right after min_iter
+    basis = subspace_iteration(f, jnp.zeros(SHAPE), jax.random.key(13), rank=5,
+                               min_iter=5, max_iter=50, tol=1e-5)
+    assert int(basis.iters) <= 10
+
+
+def test_null_space_projection_algebra():
+    key = jax.random.key(14)
+    vt_mod = jax.random.normal(key, (5, D))
+    vt_null = normalize_rows(jax.random.normal(jax.random.fold_in(key, 1), (8, D)))
+    # orthonormalize null rows so projector algebra is exact
+    q, _ = jnp.linalg.qr(vt_null.T)
+    vt_null = q.T[:5]
+    out = null_space_project(vt_mod, vt_null, rank_null=5)
+    # rows are unit norm
+    np.testing.assert_allclose(np.asarray(jnp.linalg.norm(out, axis=1)), 1.0, rtol=1e-5)
+    # rows orthogonal to every null direction
+    np.testing.assert_allclose(np.asarray(out @ vt_null.T), 0.0, atol=1e-5)
+    # idempotent (re-projection changes nothing)
+    out2 = null_space_project(out, vt_null, rank_null=5)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(out), atol=1e-5)
+
+
+def test_walk_strip_geometry():
+    xt = jnp.zeros((1, 4, 4, 3))
+    vk = jnp.ones((4, 4, 3))
+    strip = x_space_guidance_strip(xt, vk, scale=0.5, edit_step=1.0,
+                                   num_steps=16, vis_num=4)
+    # stride slice 17//4=4 -> k in {0,4,8,12,16}: 5 frames/side, mirrored,
+    # center counted once => 9 (matches the reference's xt[::len//vis_num])
+    assert strip.shape[0] == 9
+    center = strip.shape[0] // 2
+    np.testing.assert_allclose(np.asarray(strip[center]), 0.0)
+    # extreme frames at +/- 16*0.5
+    np.testing.assert_allclose(float(strip[-1, 0, 0, 0]), 8.0)
+    np.testing.assert_allclose(float(strip[0, 0, 0, 0]), -8.0)
+    # vis_num=1 -> 3 frames: -last, center, +last
+    s1 = x_space_guidance_strip(xt, vk, scale=0.5, edit_step=1.0,
+                                num_steps=16, vis_num=1)
+    assert s1.shape[0] == 3
+    np.testing.assert_allclose(float(s1[-1, 0, 0, 0]), 8.0)
+
+
+def test_probe_sharded_iteration_matches_single_device():
+    mesh = make_mesh({PROBE_AXIS: 8})
+    m, _, _ = _linear_map_with_gaps(jax.random.key(15))
+    f = lambda x: (m @ x.reshape(-1)).reshape(SHAPE)
+    x = jnp.zeros(SHAPE)
+
+    run = lambda z: subspace_iteration(f, z, jax.random.key(16), rank=8,
+                                       min_iter=3, max_iter=20, tol=1e-6).vT
+    vt_single = run(x)
+
+    sharded = jax.jit(run, in_shardings=NamedSharding(mesh, P()),
+                      out_shardings=NamedSharding(mesh, P(PROBE_AXIS)))
+    vt_sharded = sharded(x)
+    # rows 6-8 live in the degenerate sigma=1 subspace (non-unique up to
+    # rotation); only the gapped top-5 rows are pointwise comparable.
+    np.testing.assert_allclose(np.asarray(vt_sharded)[:5], np.asarray(vt_single)[:5],
+                               atol=1e-4)
