@@ -1,0 +1,154 @@
+"""Headline benchmark: rank-5 masked PMP-Jacobian basis extraction at 0.6T on
+the flagship 256px P2-preset ADM U-Net (bf16), single chip.
+
+Protocol (BASELINE.md): fixed 10 subspace-iteration sweeps (the reference's
+min_iter floor, edit.py:2422), rank 5, ~20% spatial mask. `value` is wall
+seconds for the TPU-native batched implementation. `vs_baseline` is the
+speedup over a faithful same-chip emulation of the reference's execution
+pattern (serial per-probe backward passes, thin (r x d) SVD instead of the
+Gram trick, per-iteration host sync for the convergence printout — matching
+src/modules/edit.py:2443-2494), so the ratio isolates the framework design
+from the hardware swap.
+
+Prints exactly ONE JSON line on stdout; details go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+RANK = 5
+ITERS = 10
+IMG = 256
+
+
+def build_model():
+    from loco_edit_tpu.models.adm import ADMUNet, adm_preset
+
+    cfg = adm_preset("FFHQ_P2", dtype=jnp.bfloat16)
+    model = ADMUNet(cfg)
+    x = jnp.zeros((1, IMG, IMG, 3), jnp.float32)
+    shapes = jax.eval_shape(model.init, jax.random.key(0), x, 500.0)
+
+    def leaf(path, s):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        fill = 1.0 if name == "scale" else 0.01
+        return jnp.full(s.shape, fill, s.dtype)
+
+    params = jax.tree_util.tree_map_with_path(leaf, shapes)
+    return model, params
+
+
+def main():
+    log("devices:", jax.devices())
+    from loco_edit_tpu.diffusion import LinspaceDDIM
+    from loco_edit_tpu.editing import subspace_iteration
+    from loco_edit_tpu.editing.pullback import init_probes, pmp_pullback_fn
+
+    model, params = build_model()
+    dd = LinspaceDDIM()
+    edit_idx = dd.nearest_step_index(100, 0.6)
+    grid = dd.generation_grid(100)
+    t_edit = float(grid.t[edit_idx])
+    ab_edit = float(grid.alpha_bar[edit_idx])
+
+    eps_fn = lambda z, tt: model.apply(params, z, tt)  # noqa: E731
+    f = pmp_pullback_fn(eps_fn, ab_edit, t_edit)
+
+    key = jax.random.key(0)
+    xt = jax.random.normal(jax.random.fold_in(key, 1), (1, IMG, IMG, 3), jnp.float32)
+    mask = (jax.random.uniform(jax.random.fold_in(key, 2), (1, IMG, IMG, 3)) < 0.2
+            ).astype(jnp.float32)
+
+    # ---- TPU-native batched implementation --------------------------------
+    def ours(z):
+        return subspace_iteration(f, z, jax.random.fold_in(key, 3), rank=RANK,
+                                  mask=mask, min_iter=ITERS - 1, max_iter=ITERS,
+                                  tol=0.0).vT
+
+    ours_jit = jax.jit(ours)
+    vt = ours_jit(xt)
+    vt.block_until_ready()  # compile + warm-up
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        ours_jit(xt).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    ours_sec = min(times)
+    log(f"ours: rank-{RANK} x {ITERS} iters = {ours_sec:.3f}s "
+        f"(runs: {[f'{t:.3f}' for t in times]})")
+
+    # ---- reference-pattern emulation on the same chip ----------------------
+    def fmask(z):
+        y = f(z)
+        return y * mask.astype(y.dtype)
+
+    d_in = xt.size
+
+    jvp_batch = jax.jit(lambda z, v: jax.vmap(
+        lambda vi: jax.jvp(fmask, (z,), (vi.reshape(z.shape).astype(z.dtype),))[1])(v))
+
+    def vjp_serial_factory():
+        @jax.jit
+        def one_bwd(z, ui):
+            _, pull = jax.vjp(fmask, z)
+            return pull(ui)[0].reshape(-1).astype(jnp.float32)
+        return one_bwd
+
+    one_bwd = vjp_serial_factory()
+    thin_svd = jax.jit(lambda vp: jnp.linalg.svd(vp, full_matrices=False))
+
+    def reference_pattern_iteration(v):
+        # chunked JVP (reference chunk_size=5 == rank here: one batched fwd)
+        u = jvp_batch(xt, v)
+        # serial per-probe backward passes (torch.autograd.functional.jacobian
+        # loops over outputs; each probe re-linearizes)
+        vps = [one_bwd(xt, u[i]) for i in range(RANK)]
+        vp = jnp.stack(vps)
+        _, s, vrows = thin_svd(vp)
+        vrows.block_until_ready()  # per-iteration host sync (convergence print)
+        return vrows
+
+    v = init_probes(jax.random.fold_in(key, 3), RANK, d_in)
+    v = reference_pattern_iteration(v)  # warm-up/compile
+    t0 = time.perf_counter()
+    n_timed = 3
+    for _ in range(n_timed):
+        v = reference_pattern_iteration(v)
+    ref_sec = (time.perf_counter() - t0) / n_timed * ITERS
+    log(f"reference-pattern (same chip): {ITERS} iters = {ref_sec:.3f}s "
+        f"(extrapolated from {n_timed})")
+
+    # ---- secondary: denoise throughput (stderr only) -----------------------
+    from loco_edit_tpu.diffusion import ddim_generate
+
+    strip = jnp.zeros((9, IMG, IMG, 3), jnp.float32)
+    gen = jax.jit(lambda z: ddim_generate(eps_fn, z, grid))
+    gen(strip).block_until_ready()
+    t0 = time.perf_counter()
+    gen(strip).block_until_ready()
+    dt = time.perf_counter() - t0
+    log(f"denoise: 99 steps x batch 9 @256px = {dt:.2f}s "
+        f"({99 / dt:.2f} steps/s, {99 * 9 / dt:.1f} img-steps/s)")
+
+    print(json.dumps({
+        "metric": f"rank{RANK}_masked_basis_extraction_0.6T_P2_256px_{ITERS}iters",
+        "value": round(ours_sec, 4),
+        "unit": "s",
+        "vs_baseline": round(ref_sec / ours_sec, 3),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

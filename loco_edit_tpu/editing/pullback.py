@@ -53,6 +53,13 @@ class EditBasis:
     iters: jnp.ndarray
 
 
+jax.tree_util.register_pytree_node(
+    EditBasis,
+    lambda b: ((b.u, b.s, b.vT, b.iters), None),
+    lambda _, c: EditBasis(*c),
+)
+
+
 def init_probes(key: jax.Array, rank: int, d_in: int) -> jnp.ndarray:
     """Random orthonormal probe matrix (rank, d_in), f32 — the reference's
     randn + QR initialization (edit.py:2435-2438)."""

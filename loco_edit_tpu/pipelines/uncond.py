@@ -1,0 +1,248 @@
+"""LOCO-Edit proper: the unconditional-DDPM edit engine.
+
+Orchestrates the flagship path (reference EditUncondDiffusion,
+src/modules/edit.py:2034-2625; call stack SURVEY.md 3.1):
+
+  DDIM-invert real image -> denoise to edit_t -> masked PMP-Jacobian basis
+  (cached on disk) -> null-space projection against the complement-mask basis
+  -> +/- x-space-guidance walks per principal component -> finish denoising
+  with the eta=1 performance-boosting tail -> PNG strips + direction files.
+
+All device work is jitted: inversion and generation are lax.scan loops, the
+basis extraction a lax.while_loop; the host only moves PNGs and .npz caches.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from loco_edit_tpu.core.rng import RngStream
+from loco_edit_tpu.diffusion import LinspaceDDIM, ddim_generate, ddim_invert
+from loco_edit_tpu.editing import (
+    EditBasis,
+    load_directions,
+    null_space_project,
+    normalize_rows,
+    save_directions,
+    subspace_iteration,
+    x_space_guidance_strip,
+)
+from loco_edit_tpu.editing.pullback import eps_pullback_fn, pmp_pullback_fn
+from loco_edit_tpu.models.base import Denoiser
+from loco_edit_tpu.utils.io import save_image_grid
+
+
+@dataclasses.dataclass
+class UncondEditConfig:
+    for_steps: int = 100
+    inv_steps: int = 100
+    edit_t: float = 0.6
+    performance_boosting_t: float = 0.2
+    # x-space guidance (reference preset: uncond scale dict keyed by h_t,
+    # src/configs/params.py:15-21; flagship config scale 4 @0.6T... CLI passes
+    # explicit values; defaults follow the CelebA script: scale 0.5 x 16 steps)
+    x_space_guidance_scale: float = 0.5
+    x_space_guidance_edit_step: float = 1.0
+    x_space_guidance_num_step: int = 16
+    vis_num: int = 4
+    vis_num_pc: int = 5
+    pca_rank: int = 5
+    pca_rank_null: int = 5
+    null_space_projection: bool = True
+    encoder_decoder_by_et: bool = False   # pull back eps instead of PMP
+    min_iter: int = 10
+    max_iter: int = 50
+    convergence_threshold: float = 1e-4
+    probe_chunk: int | None = None
+    result_folder: str = "./runs"
+    save_images: bool = True
+
+
+class UncondEditPipeline:
+    def __init__(self, denoiser: Denoiser, cfg: UncondEditConfig,
+                 rng: RngStream, scheduler: LinspaceDDIM | None = None):
+        self.denoiser = denoiser
+        self.cfg = cfg
+        self.rng = rng
+        self.scheduler = scheduler or LinspaceDDIM()
+        self.gen_grid = self.scheduler.generation_grid(cfg.for_steps)
+        self.inv_grid = self.scheduler.inversion_grid(cfg.inv_steps)
+        self.edit_t_idx = self.scheduler.nearest_step_index(cfg.for_steps, cfg.edit_t)
+        self.boost_eta = self.scheduler.boost_eta_flags(
+            cfg.for_steps, cfg.performance_boosting_t)
+        self._jit_cache: dict = {}
+        os.makedirs(cfg.result_folder, exist_ok=True)
+
+    # -- jitted primitives (cached per signature) -----------------------------
+
+    def _jit(self, name: str, build: Callable):
+        if name not in self._jit_cache:
+            self._jit_cache[name] = build()
+        return self._jit_cache[name]
+
+    def invert(self, x0: jnp.ndarray) -> jnp.ndarray:
+        fn = self._jit("invert", lambda: jax.jit(
+            lambda x: ddim_invert(self.denoiser.eps_fn, x, self.inv_grid)))
+        return fn(jnp.asarray(x0))
+
+    def generate(self, xt: jnp.ndarray, start_idx: int = 0,
+                 end_idx: int | None = None, boost: bool = False) -> jnp.ndarray:
+        key = (("gen", xt.shape[0], start_idx, end_idx, boost))
+        eta = self.boost_eta if boost else None
+
+        def build():
+            def run(x, k):
+                return ddim_generate(self.denoiser.eps_fn, x, self.gen_grid,
+                                     start_idx=start_idx, end_idx=end_idx,
+                                     eta=eta, rng_key=k)
+            return jax.jit(run)
+
+        fn = self._jit(key, build)
+        return fn(jnp.asarray(xt), self.rng.fork("boost-eta").key)
+
+    def pullback_fn(self, mask: np.ndarray | None):
+        t = float(self.gen_grid.t[self.edit_t_idx])
+        ab = float(self.gen_grid.alpha_bar[self.edit_t_idx])
+        if self.cfg.encoder_decoder_by_et:
+            return eps_pullback_fn(self.denoiser.eps_fn, t)
+        return pmp_pullback_fn(self.denoiser.eps_fn, ab, t)
+
+    def extract_basis(self, xt: jnp.ndarray, mask: np.ndarray | None,
+                      rank: int) -> EditBasis:
+        cfg = self.cfg
+        f = self.pullback_fn(None)
+        m = None if mask is None else jnp.asarray(mask, jnp.float32)
+
+        def build():
+            def run(x, mw, key):
+                return subspace_iteration(
+                    f, x, key, rank=rank,
+                    mask=mw, min_iter=cfg.min_iter, max_iter=cfg.max_iter,
+                    tol=cfg.convergence_threshold, probe_chunk=cfg.probe_chunk)
+            return jax.jit(run)
+
+        key = ("basis", xt.shape, rank, mask is not None)
+        fn = self._jit(key, build)
+        if m is None:
+            m = jnp.ones_like(jnp.asarray(xt), jnp.float32)
+        return fn(jnp.asarray(xt), m, self.rng.fork(f"probes-r{rank}").key)
+
+    # -- the flagship experiment ----------------------------------------------
+
+    def run_edit_null_space_projection(
+        self, x0: np.ndarray | None = None, xT: np.ndarray | None = None,
+        mask: np.ndarray | None = None, sample_name: str = "sample",
+        vT_path: str | None = None, random_edit: bool = False,
+    ) -> dict:
+        """Full LOCO-Edit on one sample (reference edit.py:2215-2366).
+
+        Provide x0 (a real image -> DDIM inversion) or xT (a latent). mask is
+        boolean NHWC (or None for unmasked). vT_path loads a previously saved
+        direction file instead of computing the basis (direction transfer).
+        Returns a dict with xt, vT, per-pc edited strips.
+        """
+        cfg = self.cfg
+        assert (x0 is None) != (xT is None), "exactly one of x0 / xT"
+        if xT is None:
+            xT = self.invert(x0)
+
+        xt, t_idx = jnp.asarray(self.generate(xT, 0, self.edit_t_idx)), self.edit_t_idx
+
+        out_dir = os.path.join(cfg.result_folder, sample_name)
+        os.makedirs(out_dir, exist_ok=True)
+
+        if vT_path:
+            vT, _meta = load_directions(vT_path)
+            vT = jnp.asarray(vT)
+            basis_name = f"edit_{cfg.edit_t}T-load-basis-{os.path.basename(vT_path)}"
+        else:
+            basis_dir = os.path.join(out_dir, "basis",
+                                     f"local_basis-{cfg.edit_t}T")
+            mod_path = os.path.join(basis_dir, f"vT-modify-rank-{cfg.pca_rank}.npz")
+            null_path = os.path.join(basis_dir, f"vT-null-{cfg.pca_rank_null}.npz")
+
+            if os.path.exists(mod_path):
+                vT_modify = jnp.asarray(load_directions(mod_path)[0])
+            else:
+                t0 = time.time()
+                basis = self.extract_basis(xt, mask, cfg.pca_rank)
+                vT_modify = basis.vT
+                print(f"power method runtime == {time.time() - t0:.2f}s "
+                      f"({int(basis.iters)} iters)")
+                save_directions(mod_path, np.asarray(vT_modify),
+                                edit_t=cfg.edit_t, rank=cfg.pca_rank)
+
+            if random_edit:
+                vT_modify = jax.random.normal(
+                    self.rng.fork("random-edit").key, vT_modify.shape)
+
+            if cfg.null_space_projection:
+                if mask is None:
+                    raise ValueError("null-space projection requires a mask")
+                if os.path.exists(null_path):
+                    vT_null = jnp.asarray(load_directions(null_path)[0])
+                else:
+                    t0 = time.time()
+                    nbasis = self.extract_basis(
+                        xt, ~np.asarray(mask, bool), cfg.pca_rank_null)
+                    vT_null = nbasis.vT
+                    print(f"null-space power method runtime == {time.time() - t0:.2f}s")
+                    save_directions(null_path, np.asarray(vT_null),
+                                    edit_t=cfg.edit_t, rank=cfg.pca_rank_null)
+                vT = null_space_project(vT_modify, vT_null, cfg.pca_rank_null)
+            else:
+                vT = normalize_rows(vT_modify)
+
+            basis_name = (f"edit_{cfg.edit_t}T_null_proj_{cfg.null_space_projection}"
+                          f"_rank{cfg.pca_rank_null}_scale_{cfg.x_space_guidance_scale}")
+            for pc in range(vT.shape[0]):
+                save_directions(
+                    os.path.join(basis_dir, f"pc_{pc:03d}-vT.npz"),
+                    np.asarray(vT[pc:pc + 1]), edit_t=cfg.edit_t, pc=pc)
+
+        # walks + final denoise, one strip per principal component
+        strips = {}
+        for pc in range(min(cfg.vis_num_pc, vT.shape[0])):
+            strip = x_space_guidance_strip(
+                xt, vT[pc], scale=cfg.x_space_guidance_scale,
+                edit_step=cfg.x_space_guidance_edit_step,
+                num_steps=cfg.x_space_guidance_num_step, vis_num=cfg.vis_num)
+            edited = self.generate(strip, self.edit_t_idx, None, boost=True)
+            strips[pc] = np.asarray(edited)
+            if cfg.save_images:
+                save_image_grid(
+                    strips[pc],
+                    os.path.join(out_dir, f"edit-{basis_name}-pc{pc:03d}.png"))
+
+        return {"xt": np.asarray(xt), "vT": np.asarray(vT), "strips": strips,
+                "edit_t_idx": t_idx, "out_dir": out_dir}
+
+    def group_edit(self, xT: np.ndarray, vT_paths: list[str],
+                   sample_name: str = "group") -> np.ndarray:
+        """Sequential composition of saved directions (reference
+        group_edit_null_space_projection, edit.py:2171-2212): apply each
+        direction's full walk offset in turn, visualizing each stage."""
+        cfg = self.cfg
+        xt = jnp.asarray(self.generate(jnp.asarray(xT), 0, self.edit_t_idx))
+        frames = [xt]
+        cur = xt
+        for p in vT_paths:
+            vT, _ = load_directions(p)
+            vk = jnp.asarray(vT[0]).reshape(xt.shape[1:]).astype(xt.dtype)
+            cur = cur + cfg.x_space_guidance_scale * cfg.x_space_guidance_num_step * vk
+            frames.append(cur)
+        strip = jnp.concatenate(frames, axis=0)
+        edited = self.generate(strip, self.edit_t_idx, None, boost=True)
+        if cfg.save_images:
+            out_dir = os.path.join(cfg.result_folder, sample_name)
+            save_image_grid(np.asarray(edited),
+                            os.path.join(out_dir, "group_edit.png"))
+        return np.asarray(edited)

@@ -1,0 +1,31 @@
+"""Image IO: save [-1,1] NHWC batches as PNG grids (the reference uses
+torchvision's save_image with nrow=batch, src/modules/edit.py:2595-2599;
+here plain numpy + PIL)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+from PIL import Image
+
+
+def to_uint8(x: np.ndarray) -> np.ndarray:
+    """[-1,1] float NHWC -> uint8."""
+    x = np.asarray(x, dtype=np.float32)
+    x = np.clip(x / 2.0 + 0.5, 0.0, 1.0)
+    return (x * 255.0 + 0.5).astype(np.uint8)
+
+
+def save_image_grid(x: np.ndarray, path: str, nrow: int | None = None) -> None:
+    """x: (B, H, W, C) in [-1, 1]. nrow = images per row (default: all)."""
+    arr = to_uint8(x)
+    b, h, w, c = arr.shape
+    nrow = b if nrow is None else nrow
+    ncol = (b + nrow - 1) // nrow
+    grid = np.zeros((ncol * h, nrow * w, c), np.uint8)
+    for i in range(b):
+        r, col = divmod(i, nrow)
+        grid[r * h:(r + 1) * h, col * w:(col + 1) * w] = arr[i]
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    Image.fromarray(grid.squeeze() if c == 1 else grid).save(path)

@@ -1,0 +1,101 @@
+"""End-to-end flagship-path test on the tiny ADM model (CPU): invert a
+synthetic image, extract a masked basis, null-project, walk, denoise, and
+check the disk-cache / direction-transfer workflow."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from loco_edit_tpu.core.rng import seed_everything
+from loco_edit_tpu.models.adm import ADMUNet
+from loco_edit_tpu.models.adm.presets import tiny_test_config
+from loco_edit_tpu.models.base import Denoiser
+from loco_edit_tpu.pipelines import UncondEditConfig, UncondEditPipeline
+
+
+@pytest.fixture(scope="module")
+def pipeline_factory(tmp_path_factory):
+    cfg_model = tiny_test_config()
+    model = ADMUNet(cfg_model)
+    x = jnp.zeros((1, 32, 32, 3))
+    params = jax.jit(model.init)(jax.random.key(0), x, 500.0)
+    # non-degenerate eps: perturb the zero-init output convs
+    params = jax.tree.map(lambda p: p + 0.02 * (p.size % 7 == 0), params)
+    den = Denoiser(eps_fn=lambda z, t: model.apply(params, z, t),
+                   sample_shape=(32, 32, 3))
+
+    def make(**overrides):
+        root = str(tmp_path_factory.mktemp("run"))
+        cfg = UncondEditConfig(
+            for_steps=10, inv_steps=10, edit_t=0.6, performance_boosting_t=0.2,
+            x_space_guidance_scale=0.5, x_space_guidance_num_step=4,
+            vis_num=2, vis_num_pc=2, pca_rank=2, pca_rank_null=2,
+            min_iter=2, max_iter=4, convergence_threshold=1e-3,
+            result_folder=root, **overrides)
+        return UncondEditPipeline(den, cfg, seed_everything(7)), root
+
+    return make
+
+
+def test_flagship_path_end_to_end(pipeline_factory):
+    pipe, root = pipeline_factory()
+    x0 = np.random.default_rng(0).normal(size=(1, 32, 32, 3)).astype(np.float32) * 0.3
+    mask = np.zeros((1, 32, 32, 3), bool)
+    mask[:, 8:20, 8:20, :] = True
+
+    out = pipe.run_edit_null_space_projection(x0=x0, mask=mask, sample_name="s0")
+    assert out["vT"].shape == (2, 32 * 32 * 3)
+    np.testing.assert_allclose(np.linalg.norm(out["vT"], axis=1), 1.0, rtol=1e-4)
+    assert set(out["strips"]) == {0, 1}
+    strip = out["strips"][0]
+    # num_step=4, vis_num=2: one-sided frames {0,2,4} -> mirrored strip of 5
+    assert strip.shape[0] == 5 and np.all(np.isfinite(strip))
+    # direction files + basis cache on disk
+    files = os.listdir(os.path.join(out["out_dir"], "basis", "local_basis-0.6T"))
+    assert any(f.startswith("vT-modify") for f in files)
+    assert any(f.startswith("vT-null") for f in files)
+    assert any(f.startswith("pc_000") for f in files)
+    # edited strip PNG written
+    assert any(f.startswith("edit-") and f.endswith(".png")
+               for f in os.listdir(out["out_dir"]))
+
+
+def test_basis_cache_reused_and_transferable(pipeline_factory):
+    pipe, root = pipeline_factory()
+    x0 = np.random.default_rng(1).normal(size=(1, 32, 32, 3)).astype(np.float32) * 0.3
+    mask = np.zeros((1, 32, 32, 3), bool)
+    mask[:, 4:16, 4:16, :] = True
+    out1 = pipe.run_edit_null_space_projection(x0=x0, mask=mask, sample_name="s1")
+    out2 = pipe.run_edit_null_space_projection(x0=x0, mask=mask, sample_name="s1")
+    np.testing.assert_allclose(out1["vT"], out2["vT"], atol=1e-6)
+
+    # direction transfer: drive another run from a saved pc file
+    pc_path = os.path.join(out1["out_dir"], "basis", "local_basis-0.6T",
+                           "pc_000-vT.npz")
+    out3 = pipe.run_edit_null_space_projection(
+        x0=x0, mask=mask, sample_name="s1-transfer", vT_path=pc_path)
+    np.testing.assert_allclose(out3["vT"], out1["vT"][:1], atol=1e-6)
+
+
+def test_group_edit_composition(pipeline_factory):
+    pipe, root = pipeline_factory()
+    x0 = np.random.default_rng(2).normal(size=(1, 32, 32, 3)).astype(np.float32) * 0.3
+    mask = np.zeros((1, 32, 32, 3), bool)
+    mask[:, 10:22, 10:22, :] = True
+    out = pipe.run_edit_null_space_projection(x0=x0, mask=mask, sample_name="s2")
+    base = os.path.join(out["out_dir"], "basis", "local_basis-0.6T")
+    paths = [os.path.join(base, "pc_000-vT.npz"), os.path.join(base, "pc_001-vT.npz")]
+    xT = pipe.invert(jnp.asarray(x0))
+    edited = pipe.group_edit(np.asarray(xT), paths, sample_name="s2-group")
+    assert edited.shape[0] == 3  # original + 2 composed stages
+    assert np.all(np.isfinite(edited))
+
+
+def test_no_null_projection_variant(pipeline_factory):
+    pipe, _ = pipeline_factory(null_space_projection=False)
+    x0 = np.random.default_rng(3).normal(size=(1, 32, 32, 3)).astype(np.float32) * 0.3
+    out = pipe.run_edit_null_space_projection(x0=x0, mask=None, sample_name="s3")
+    np.testing.assert_allclose(np.linalg.norm(out["vT"], axis=1), 1.0, rtol=1e-4)
