@@ -11,9 +11,11 @@ TPU-native redesign (the source of the headline speedup):
     `jax.jvp` — the probe axis becomes a device batch dim that shards across
     the mesh, where the reference loops host-chunks of 5 probes serially
     through `torch.func.jacfwd` (edit.py:2419,2448-2455).
-  - The VJP sweep shares a single primal forward: one `jax.vjp` linearization,
-    then a vmapped pullback over the `rank` cotangents, where the reference
-    re-runs `torch.autograd.functional.jacobian` per iteration (edit.py:2479).
+  - One `jax.linearize` per sweep shares a single primal forward across ALL
+    tangent probes, and its `jax.linear_transpose` drives the cotangent sweep
+    — 1 primal + rank tangent + rank cotangent passes per iteration, where the
+    reference pays a fresh primal per jacfwd chunk and a serial
+    `torch.autograd.functional.jacobian` for the pullbacks (edit.py:2448-2479).
   - The (rank x rank) Gram eigendecomposition replaces the (rank x d) thin SVD
     (d = 196 608 at 256px): identical right-singular subspace, tiny on-device
     cost, no host detours.
@@ -96,28 +98,28 @@ def subspace_iteration(
             y = y * jnp.asarray(mask, y.dtype)
         return y
 
-    def batched_jvp(v_flat):
-        def one(vi):
-            return jax.jvp(fw, (x,), (vi.reshape(in_shape).astype(x.dtype),))[1]
+    def _chunked_vmap(one, batch):
+        """vmap over the probe axis, optionally in lax.map chunks."""
         if probe_chunk is None or rank <= probe_chunk:
-            return jax.vmap(one)(v_flat)
+            return jax.vmap(one)(batch)
         pad = (-rank) % probe_chunk
-        vp = jnp.pad(v_flat, ((0, pad), (0, 0)))
+        bp = jnp.pad(batch, [(0, pad)] + [(0, 0)] * (batch.ndim - 1))
         out = jax.lax.map(jax.vmap(one),
-                          vp.reshape(-1, probe_chunk, d_in))
+                          bp.reshape(-1, probe_chunk, *batch.shape[1:]))
         return out.reshape(-1, *out.shape[2:])[:rank]
 
-    def batched_vjp(u):
-        _, pull = jax.vjp(fw, x)
-        def one(ui):
-            return pull(ui)[0].reshape(d_in).astype(jnp.float32)
-        if probe_chunk is None or rank <= probe_chunk:
-            return jax.vmap(one)(u)
-        pad = (-rank) % probe_chunk
-        up = jnp.pad(u, [(0, pad)] + [(0, 0)] * (u.ndim - 1))
-        out = jax.lax.map(jax.vmap(one),
-                          up.reshape(-1, probe_chunk, *u.shape[1:]))
-        return out.reshape(-1, d_in)[:rank]
+    def sweep(v_flat):
+        """One JVP+VJP sweep sharing a single primal linearization:
+        u_i = J v_i via the linearized tangent map, then v'_i = u_i^T J via
+        its transpose — 1 primal + rank tangent + rank cotangent passes,
+        where vmap(jax.jvp) would redo the primal once per probe."""
+        y, jvp_lin = jax.linearize(fw, x)
+        u = _chunked_vmap(
+            lambda vi: jvp_lin(vi.reshape(in_shape).astype(x.dtype)), v_flat)
+        vjp_lin = jax.linear_transpose(jvp_lin, x)
+        vp = _chunked_vmap(
+            lambda ui: vjp_lin(ui)[0].reshape(d_in).astype(jnp.float32), u)
+        return u, vp
 
     v0 = init_probes(key, rank, d_in)
     out_shape = jax.eval_shape(fw, x)
@@ -126,8 +128,7 @@ def subspace_iteration(
 
     def body(carry):
         i, v, _, _, _ = carry
-        u = batched_jvp(v)                       # (rank, *out_shape) = J v
-        vp = batched_vjp(u)                      # (rank, d_in)       = u^T J
+        u, vp = sweep(v)                         # u = J v ; vp = u^T J
         # right-singular vectors of vp via the (rank x rank) Gram matrix
         gram = vp @ vp.T                         # f32
         w, q = jnp.linalg.eigh(gram)             # ascending
