@@ -108,15 +108,17 @@ def subspace_iteration(
                           bp.reshape(-1, probe_chunk, *batch.shape[1:]))
         return out.reshape(-1, *out.shape[2:])[:rank]
 
+    # x is FIXED across iterations, so J is fixed: linearize ONCE and reuse the
+    # linear tangent map + its transpose for every sweep. The primal network
+    # runs exactly once per basis extraction; each iteration costs only
+    # rank tangent + rank cotangent passes. (The reference re-runs jacfwd and
+    # autograd.jacobian — primal included — every iteration.)
+    _, jvp_lin = jax.linearize(fw, x)
+    vjp_lin = jax.linear_transpose(jvp_lin, x)
+
     def sweep(v_flat):
-        """One JVP+VJP sweep sharing a single primal linearization:
-        u_i = J v_i via the linearized tangent map, then v'_i = u_i^T J via
-        its transpose — 1 primal + rank tangent + rank cotangent passes,
-        where vmap(jax.jvp) would redo the primal once per probe."""
-        y, jvp_lin = jax.linearize(fw, x)
         u = _chunked_vmap(
             lambda vi: jvp_lin(vi.reshape(in_shape).astype(x.dtype)), v_flat)
-        vjp_lin = jax.linear_transpose(jvp_lin, x)
         vp = _chunked_vmap(
             lambda ui: vjp_lin(ui)[0].reshape(d_in).astype(jnp.float32), u)
         return u, vp

@@ -1,0 +1,73 @@
+"""CLI surface tests: flag parity, preset derivation, and the full TinyTest
+end-to-end run (the smoke_tinytest.sh path)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from loco_edit_tpu.cli.args import parse_args, preset
+
+
+def test_flag_surface_parity():
+    """Every live reference flag must parse (spot-check the flagship script's
+    flag set, src/scripts/main_celeba_hf_null_space_projection.sh)."""
+    args = parse_args([
+        "--sample_idx", "4729", "--dtype", "fp32", "--seed", "1",
+        "--model_name", "CelebA_HQ_HF", "--dataset_name", "CelebA_HQ_mask",
+        "--for_steps", "100", "--inv_steps", "100",
+        "--use_yh_custom_scheduler", "True",
+        "--x_space_guidance_edit_step", "1",
+        "--x_space_guidance_scale", "0.5",
+        "--x_space_guidance_num_step", "16",
+        "--edit_t", "0.6", "--performance_boosting_t", "0.2",
+        "--run_edit_null_space_projection", "True",
+        "--dataset_root", "/data", "--choose_sem", "l_eye",
+        "--null_space_projection", "True", "--use_mask", "True",
+        "--pca_rank_null", "5", "--pca_rank", "1", "--vis_num", "2",
+    ])
+    assert args.edit_t == 0.6 and args.pca_rank == 1
+
+
+def test_preset_derivations(tmp_path):
+    args = parse_args(["--model_name", "FFHQ_P2", "--dataset_name", "FFHQ",
+                       "--for_steps", "100", "--performance_boosting_t", "0.2",
+                       "--result_folder", str(tmp_path)])
+    args = preset(args)
+    assert args.image_size == 256 and args.c_in == 3
+    assert not args.is_stable_diffusion
+    assert os.path.isdir(args.result_folder)
+
+
+def test_preset_scale_lookup(tmp_path):
+    args = parse_args(["--model_name", "FFHQ_P2", "--dataset_name", "FFHQ",
+                       "--for_steps", "100", "--performance_boosting_t", "0.2",
+                       "--use_x_space_guidance", "true", "--h_t", "0.6",
+                       "--result_folder", str(tmp_path)])
+    args = preset(args)
+    assert args.x_space_guidance_scale == 4  # params.py uncond dict @0.6
+
+
+def test_preset_invariants_enforced(tmp_path):
+    args = parse_args(["--model_name", "FFHQ_P2", "--dataset_name", "FFHQ",
+                       "--for_steps", "50", "--performance_boosting_t", "0.2",
+                       "--result_folder", str(tmp_path)])
+    with pytest.raises(AssertionError):
+        preset(args)
+
+
+def test_cli_end_to_end_tinytest(tmp_path):
+    from loco_edit_tpu.cli.main import main
+
+    main(["--model_name", "TinyTest", "--dataset_name", "Random",
+          "--for_steps", "10", "--inv_steps", "10", "--edit_t", "0.6",
+          "--performance_boosting_t", "0.2",
+          "--x_space_guidance_scale", "0.5", "--x_space_guidance_num_step", "4",
+          "--pca_rank", "2", "--pca_rank_null", "2", "--vis_num", "2",
+          "--null_space_projection", "false", "--use_mask", "false",
+          "--run_edit_null_space_projection", "true", "--seed", "7",
+          "--result_folder", str(tmp_path)])
+    pngs = []
+    for root, _, files in os.walk(tmp_path):
+        pngs += [f for f in files if f.endswith(".png")]
+    assert any(f.startswith("edit-") for f in pngs)
