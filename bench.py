@@ -16,12 +16,19 @@ Prints exactly ONE JSON line on stdout; details go to stderr.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# persistent compile cache: the tunnel TPU's compile service is slow (minutes
+# for the 256px U-Net autodiff graphs); cache hits make re-runs start in seconds
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 
 def log(*a):

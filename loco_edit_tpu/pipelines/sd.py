@@ -1,0 +1,273 @@
+"""T-LOCO on Stable Diffusion: latent z-space editing engine.
+
+Counterpart of the reference EditStableDiffusion (src/modules/edit.py:483-1194):
+CFG denoising with prompt-combination modes, DDIM inversion through the VAE
+encoder, PMP *through the VAE decoder* for the pullback (get_x0,
+edit.py:757-781), text-supervised directions via the prompt-delta Jacobian
+(get_delta_zt_via_grad, edit.py:783-828), unsupervised directions via the
+shared subspace iteration, null-space projection, x-space-guidance walks in
+z_t, and the SEGA ablation branch (edit.py:1166-1173).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from loco_edit_tpu.core.rng import RngStream
+from loco_edit_tpu.diffusion import LinspaceDDIM
+from loco_edit_tpu.diffusion.sampling import ddim_scan
+from loco_edit_tpu.editing import (
+    load_directions,
+    normalize_rows,
+    null_space_project,
+    save_directions,
+    subspace_iteration,
+    x_space_guidance_strip,
+)
+from loco_edit_tpu.editing.cfg import cfg_eps
+from loco_edit_tpu.utils.io import save_image_grid
+
+
+@dataclasses.dataclass
+class SDEditConfig:
+    for_steps: int = 100
+    inv_steps: int = 100
+    edit_t: float = 0.7
+    guidance_scale: float = 7.5
+    guidance_scale_edit: float = 4.0
+    x_space_guidance_scale: float = 1.0
+    x_space_guidance_edit_step: float = 1.0
+    x_space_guidance_num_step: int = 8
+    vis_num: int = 4
+    vis_num_pc: int = 1
+    pca_rank: int = 2
+    pca_rank_null: int = 2
+    null_space_projection: bool = True
+    min_iter: int = 10
+    max_iter: int = 50
+    convergence_threshold: float = 1e-3
+    probe_chunk: int | None = None
+    scaling_factor: float = 0.18215
+    t_max: int = 999
+    result_folder: str = "./runs"
+    save_images: bool = True
+    tilda_v_score_type: str = "null+(for-null)+(edit-null)"
+    use_sega: bool = False
+
+
+class SDEditPipeline:
+    """Bound to: unet_apply(z, t, context) -> eps (batched), decode(z) -> x,
+    encode(x, key) -> z (sampled latent, already scaled), and a prompt
+    encoder str -> (1, seq, dim)."""
+
+    def __init__(self, unet_apply, decode, encode, prompt_encoder,
+                 cfg: SDEditConfig, rng: RngStream,
+                 latent_shape=(64, 64, 4),
+                 scheduler: LinspaceDDIM | None = None,
+                 learn_sigma: bool = False):
+        self.cfg = cfg
+        self.rng = rng
+        self.decode = decode
+        self.encode = encode
+        self.latent_shape = latent_shape
+        if learn_sigma:
+            c = latent_shape[-1]
+            self.unet_apply = lambda z, t, ctx: unet_apply(z, t, ctx)[..., :c]
+        else:
+            self.unet_apply = unet_apply
+        self.scheduler = scheduler or LinspaceDDIM(t_max=cfg.t_max)
+        self.gen_grid = self.scheduler.generation_grid(cfg.for_steps)
+        self.inv_grid = self.scheduler.inversion_grid(cfg.inv_steps)
+        self.edit_t_idx = self.scheduler.nearest_step_index(cfg.for_steps, cfg.edit_t)
+        self.prompt_encoder = prompt_encoder
+        self._emb_cache: dict[str, jnp.ndarray] = {}
+        self._jit_cache: dict = {}
+        os.makedirs(cfg.result_folder, exist_ok=True)
+
+    # -- prompts ---------------------------------------------------------------
+
+    def emb(self, prompt: str) -> jnp.ndarray:
+        if prompt not in self._emb_cache:
+            self._emb_cache[prompt] = self.prompt_encoder(prompt)
+        return self._emb_cache[prompt]
+
+    def prompt_set(self, for_prompt: str, edit_prompt: str = "") -> dict:
+        return {"for": self.emb(for_prompt), "edit": self.emb(edit_prompt),
+                "null": self.emb("")}
+
+    # -- denoising primitives ---------------------------------------------------
+
+    def _eps_fn(self, prompts: dict, mode: str) -> Callable:
+        enabled = self.cfg.guidance_scale > 1.0
+        return lambda z, t: cfg_eps(
+            self.unet_apply, z, t, prompts, mode,
+            self.cfg.guidance_scale, self.cfg.guidance_scale_edit,
+            enabled=enabled)
+
+    def _jit(self, key, build):
+        if key not in self._jit_cache:
+            self._jit_cache[key] = build()
+        return self._jit_cache[key]
+
+    def generate(self, zt, prompts: dict, mode: str, start_idx: int = 0,
+                 end_idx: int | None = None) -> jnp.ndarray:
+        grid = self.gen_grid.slice(
+            start_idx, len(self.gen_grid) if end_idx in (None, -1) else end_idx)
+        key = ("gen", zt.shape[0], start_idx, end_idx, mode)
+        fn = self._jit(key, lambda: jax.jit(
+            lambda z, f=self._eps_fn(prompts, mode), g=grid: ddim_scan(f, z, g)))
+        return fn(jnp.asarray(zt))
+
+    def invert(self, x0, inv_prompt: str = "") -> jnp.ndarray:
+        """Real image -> sampled VAE latent -> ascending DDIM (no CFG, the
+        reference passes guidance=None on the live path, edit.py:567-633)."""
+        z0 = self.encode(jnp.asarray(x0), self.rng.fork("vae-sample").key)
+        prompts = {"for": self.emb(inv_prompt), "edit": self.emb(""),
+                   "null": self.emb("")}
+        f = self._eps_fn(prompts, "null+(for-null)")
+        # no-CFG single pass under inv prompt
+        f = lambda z, t, p=prompts: cfg_eps(  # noqa: E731
+            self.unet_apply, z, t, p, "null+(for-null)",
+            self.cfg.guidance_scale, enabled=False)
+        fn = self._jit(("inv", z0.shape[0], inv_prompt),
+                       lambda: jax.jit(lambda z: ddim_scan(f, z, self.inv_grid)))
+        return fn(z0)
+
+    def decode_to_image(self, z) -> np.ndarray:
+        fn = self._jit(("dec", z.shape[0]), lambda: jax.jit(
+            lambda zz: self.decode(zz / self.cfg.scaling_factor)))
+        return np.asarray(fn(jnp.asarray(z)))
+
+    # -- pullback objects --------------------------------------------------------
+
+    def pmp_through_decoder(self, prompts: dict, mode: str) -> Callable:
+        """f(z_t) = decode(PMP(z_t)) — the Jacobian target (edit.py:757-781)."""
+        t = float(self.gen_grid.t[self.edit_t_idx])
+        ab = float(self.gen_grid.alpha_bar[self.edit_t_idx])
+        eps = self._eps_fn(prompts, mode)
+
+        def f(z):
+            e = eps(z, jnp.asarray(t))
+            z0 = (z - e * jnp.sqrt(1.0 - ab)) / jnp.sqrt(ab)
+            return self.decode(z0 / self.cfg.scaling_factor)
+
+        return f
+
+    def extract_basis(self, zt, prompts: dict, mode: str,
+                      mask: np.ndarray | None, rank: int):
+        cfg = self.cfg
+        f = self.pmp_through_decoder(prompts, mode)
+        m = (jnp.ones((1, 1, 1, 1), jnp.float32) if mask is None
+             else jnp.asarray(mask, jnp.float32))
+
+        def run(z, mw, key):
+            return subspace_iteration(
+                f, z, key, rank=rank, mask=mw, min_iter=cfg.min_iter,
+                max_iter=cfg.max_iter, tol=cfg.convergence_threshold,
+                probe_chunk=cfg.probe_chunk)
+
+        fn = self._jit(("basis", zt.shape, rank, mode, mask is not None),
+                       lambda: jax.jit(run))
+        return fn(jnp.asarray(zt), m, self.rng.fork(f"probes-{rank}-{mode}").key)
+
+    def delta_zt_via_grad(self, zt, prompts: dict, mask: np.ndarray | None,
+                          mode: str) -> jnp.ndarray:
+        """Text-supervised direction: one VJP of <delta_x0, decode(PMP(z))>
+        where delta_x0 = decode(PMP under `mode`) - decode(PMP under
+        null+(for-null)) (reference get_delta_zt_via_grad, edit.py:783-828)."""
+        f_base = self.pmp_through_decoder(prompts, "null+(for-null)")
+        f_mode = self.pmp_through_decoder(prompts, mode)
+        mw = None if mask is None else jnp.asarray(mask, jnp.float32)
+
+        def run(z, key):
+            delta = f_mode(z) - f_base(z)
+            if mw is not None:
+                delta = delta * mw.astype(delta.dtype)
+
+            def g(zz):
+                y = f_mode(zz)
+                if mw is not None:
+                    y = y * mw.astype(y.dtype)
+                return jnp.sum(delta * y)
+
+            v = jax.grad(g)(z).reshape(1, -1).astype(jnp.float32)
+            return v / jnp.linalg.norm(v, axis=1, keepdims=True)
+
+        fn = self._jit(("delta", zt.shape, mode, mask is not None),
+                       lambda: jax.jit(run))
+        return fn(jnp.asarray(zt), self.rng.fork("delta").key)
+
+    # -- experiments --------------------------------------------------------------
+
+    def run_edit_null_space_projection_zt(
+            self, for_prompt: str, edit_prompt: str = "", zT=None,
+            mask: np.ndarray | None = None, sample_name: str = "sample",
+            semantic: bool = False) -> dict:
+        """Unsupervised (power-iteration) or text-supervised (semantic=True)
+        z-space edit (reference edit.py:917-1042 / :1044-1173)."""
+        cfg = self.cfg
+        prompts = self.prompt_set(for_prompt, edit_prompt)
+        h, w, c = self.latent_shape
+        if zT is None:
+            zT = jax.random.normal(self.rng.fork("zT").key, (1, h, w, c))
+
+        out_dir = os.path.join(cfg.result_folder, sample_name)
+        os.makedirs(out_dir, exist_ok=True)
+
+        if cfg.use_sega:
+            # SEGA ablation: no basis at all, just edit-guided denoising from
+            # the edit timestep (edit.py:1166-1173)
+            zt = self.generate(zT, prompts, "null+(for-null)", 0, self.edit_t_idx)
+            z0 = self.generate(zt, prompts, "null+(for-null)+(edit-null)",
+                               self.edit_t_idx, None)
+            img = self.decode_to_image(z0)
+            if cfg.save_images:
+                save_image_grid(img, os.path.join(out_dir, "sega.png"))
+            return {"image": img}
+
+        zt = self.generate(zT, prompts, "null+(for-null)", 0, self.edit_t_idx)
+
+        if semantic:
+            vT_modify = self.delta_zt_via_grad(zt, prompts, mask,
+                                               cfg.tilda_v_score_type)
+        else:
+            t0 = time.time()
+            vT_modify = self.extract_basis(zt, prompts, "null+(for-null)",
+                                           mask, cfg.pca_rank).vT
+            print(f"power method runtime == {time.time() - t0:.2f}s")
+
+        if cfg.null_space_projection:
+            if mask is None:
+                raise ValueError("null-space projection requires a mask")
+            vT_null = self.extract_basis(zt, prompts, "null+(for-null)",
+                                         ~np.asarray(mask, bool),
+                                         cfg.pca_rank_null).vT
+            vT = null_space_project(vT_modify, vT_null, cfg.pca_rank_null)
+        else:
+            vT = normalize_rows(vT_modify)
+
+        save_directions(os.path.join(out_dir, "basis", "vT.npz"),
+                        np.asarray(vT), edit_t=cfg.edit_t)
+
+        strips = {}
+        for pc in range(min(cfg.vis_num_pc, vT.shape[0])):
+            strip = x_space_guidance_strip(
+                jnp.asarray(zt), vT[pc], scale=cfg.x_space_guidance_scale,
+                edit_step=cfg.x_space_guidance_edit_step,
+                num_steps=cfg.x_space_guidance_num_step, vis_num=cfg.vis_num)
+            z0 = self.generate(strip, prompts, "null+(for-null)",
+                               self.edit_t_idx, None)
+            img = self.decode_to_image(z0)
+            strips[pc] = img
+            if cfg.save_images:
+                save_image_grid(img, os.path.join(
+                    out_dir, f"edit-zt-{cfg.edit_t}T-pc{pc:03d}.png"))
+        return {"zt": np.asarray(zt), "vT": np.asarray(vT), "strips": strips,
+                "out_dir": out_dir}
