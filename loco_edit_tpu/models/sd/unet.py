@@ -180,7 +180,11 @@ class SDUNet(nn.Module):
         if cfg.time_cond_proj_dim is not None:
             if w is None:
                 raise ValueError("this UNet is guidance-embedding conditioned; pass w")
-            w_emb = timestep_embedding(
+            # LCM guidance embedding: [sin|cos], /(half-1) exponent, w*1000
+            # (diffusers get_guidance_scale_embedding; reference edit.py:118-121)
+            from loco_edit_tpu.models.ddpm.unet import ddpm_timestep_embedding
+
+            w_emb = ddpm_timestep_embedding(
                 jnp.broadcast_to(jnp.atleast_1d(jnp.asarray(w)), (b,)) * 1000.0,
                 cfg.time_cond_proj_dim)
             temb = temb + _dense(ch0, jnp.float32, "cond_proj",

@@ -1,0 +1,212 @@
+"""T-LOCO on a Latent Consistency Model: few-step z-space editing.
+
+Counterpart of the reference EditLatentConsistency (src/modules/edit.py:42-479):
+4-step LCM sampling with the guidance-scale embedding (w = guidance_scale - 1,
+edit.py:118-121, no CFG batch), edit at an integer step index (default 2),
+text-supervised prompt-delta directions or unsupervised subspace iteration on
+the consistency output through the VAE decoder, null-space projection, walks,
+and the SEGA ablation (denoise the tail under the edit prompt).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from loco_edit_tpu.core.rng import RngStream
+from loco_edit_tpu.diffusion.lcm import LCMGrid, lcm_denoised, lcm_grid, lcm_scan
+from loco_edit_tpu.editing import (
+    normalize_rows,
+    null_space_project,
+    save_directions,
+    subspace_iteration,
+    x_space_guidance_strip,
+)
+from loco_edit_tpu.utils.io import save_image_grid
+
+
+@dataclasses.dataclass
+class LCMEditConfig:
+    num_inference_steps: int = 4
+    edit_t_idx: int = 2
+    guidance_scale: float = 7.5
+    x_space_guidance_scale: float = 5.0
+    x_space_guidance_edit_step: float = 1.0
+    x_space_guidance_num_step: int = 1
+    vis_num: int = 1
+    pca_rank: int = 1
+    pca_rank_null: int = 5
+    null_space_projection: bool = True
+    non_semantic: bool = False
+    min_iter: int = 10
+    max_iter: int = 50
+    convergence_threshold: float = 1e-3
+    probe_chunk: int | None = None
+    scaling_factor: float = 0.18215
+    result_folder: str = "./runs"
+    save_images: bool = True
+    use_sega: bool = False
+
+
+class LCMEditPipeline:
+    """unet_apply(z, t, context, w) -> eps; decode(z) -> x; prompt_encoder."""
+
+    def __init__(self, unet_apply, decode, prompt_encoder, cfg: LCMEditConfig,
+                 rng: RngStream, latent_shape=(64, 64, 4),
+                 grid: LCMGrid | None = None):
+        self.cfg = cfg
+        self.rng = rng
+        self.unet_apply = unet_apply
+        self.decode = decode
+        self.prompt_encoder = prompt_encoder
+        self.latent_shape = latent_shape
+        self.grid = grid or lcm_grid(cfg.num_inference_steps)
+        self.w = cfg.guidance_scale - 1.0
+        self._emb_cache: dict[str, jnp.ndarray] = {}
+        self._jit_cache: dict = {}
+        os.makedirs(cfg.result_folder, exist_ok=True)
+
+    def emb(self, prompt: str) -> jnp.ndarray:
+        if prompt not in self._emb_cache:
+            self._emb_cache[prompt] = self.prompt_encoder(prompt)
+        return self._emb_cache[prompt]
+
+    def _eps_fn(self, prompt: str) -> Callable:
+        ctx = self.emb(prompt)
+
+        def f(z, t):
+            c = jnp.broadcast_to(ctx, (z.shape[0],) + ctx.shape[-2:])
+            w = jnp.full((z.shape[0],), self.w, z.dtype)
+            return self.unet_apply(z, t, c, w)
+
+        return f
+
+    def _jit(self, key, build):
+        if key not in self._jit_cache:
+            self._jit_cache[key] = build()
+        return self._jit_cache[key]
+
+    def forward_steps(self, z, prompt: str, start_idx: int = 0,
+                      end_idx: int | None = None):
+        """(z_next, denoised) over LCM grid steps (edit.py:147-203)."""
+        f = self._eps_fn(prompt)
+        key = ("fwd", z.shape[0], prompt, start_idx, end_idx)
+        fn = self._jit(key, lambda: jax.jit(
+            lambda zz, k: lcm_scan(f, zz, self.grid, k, start_idx, end_idx)))
+        return fn(jnp.asarray(z), self.rng.fork("lcm-noise").key)
+
+    def decode_to_image(self, den) -> np.ndarray:
+        fn = self._jit(("dec", den.shape[0]), lambda: jax.jit(
+            lambda zz: self.decode(zz / self.cfg.scaling_factor)))
+        return np.asarray(fn(jnp.asarray(den)))
+
+    def consistency_x0_fn(self, prompt: str, step_idx: int) -> Callable:
+        """f(z_t) = decode(denoised(z_t)) at one grid step — the LCM engine's
+        get_x0 (edit.py:206-247)."""
+        f = self._eps_fn(prompt)
+        t = float(self.grid.t[step_idx])
+
+        def g(z):
+            eps = f(z, jnp.asarray(t))
+            den = lcm_denoised(z, eps, self.grid, step_idx)
+            return self.decode(den / self.cfg.scaling_factor)
+
+        return g
+
+    def extract_basis(self, zt, prompt: str, mask, rank: int):
+        cfg = self.cfg
+        g = self.consistency_x0_fn(prompt, cfg.edit_t_idx)
+        m = (jnp.ones((1, 1, 1, 1), jnp.float32) if mask is None
+             else jnp.asarray(mask, jnp.float32))
+
+        def run(z, mw, key):
+            return subspace_iteration(
+                g, z, key, rank=rank, mask=mw, min_iter=cfg.min_iter,
+                max_iter=cfg.max_iter, tol=cfg.convergence_threshold,
+                probe_chunk=cfg.probe_chunk)
+
+        fn = self._jit(("basis", zt.shape, rank, prompt, mask is not None),
+                       lambda: jax.jit(run))
+        return fn(jnp.asarray(zt), m, self.rng.fork(f"lcm-probes-{rank}").key)
+
+    def delta_zt_via_grad(self, zt, for_prompt: str, edit_prompt: str,
+                          mask) -> jnp.ndarray:
+        """Prompt-delta direction (edit.py:250-280): one VJP of
+        <x0(edit) - x0(for), x0_edit(z)>."""
+        g_for = self.consistency_x0_fn(for_prompt, self.cfg.edit_t_idx)
+        g_edit = self.consistency_x0_fn(edit_prompt, self.cfg.edit_t_idx)
+        mw = None if mask is None else jnp.asarray(mask, jnp.float32)
+
+        def run(z):
+            delta = g_edit(z) - g_for(z)
+            if mw is not None:
+                delta = delta * mw.astype(delta.dtype)
+
+            def h(zz):
+                y = g_edit(zz)
+                if mw is not None:
+                    y = y * mw.astype(y.dtype)
+                return jnp.sum(delta * y)
+
+            v = jax.grad(h)(z).reshape(1, -1).astype(jnp.float32)
+            return v / jnp.linalg.norm(v, axis=1, keepdims=True)
+
+        fn = self._jit(("delta", zt.shape, for_prompt, edit_prompt,
+                        mask is not None), lambda: jax.jit(run))
+        return fn(jnp.asarray(zt))
+
+    def run_edit_null_space_projection_zt(
+            self, for_prompt: str, edit_prompt: str = "", zT=None,
+            mask=None, sample_name: str = "sample") -> dict:
+        """The LCM experiment (reference edit.py:373-470)."""
+        cfg = self.cfg
+        h, w, c = self.latent_shape
+        if zT is None:
+            zT = jax.random.normal(self.rng.fork("zT").key, (1, h, w, c))
+        out_dir = os.path.join(cfg.result_folder, sample_name)
+        os.makedirs(out_dir, exist_ok=True)
+
+        zt, _den = self.forward_steps(zT, for_prompt, 0, cfg.edit_t_idx)
+
+        if cfg.use_sega:
+            _, den = self.forward_steps(zt, edit_prompt, cfg.edit_t_idx, None)
+            img = self.decode_to_image(den)
+            if cfg.save_images:
+                save_image_grid(img, os.path.join(out_dir, "sega.png"))
+            return {"image": img}
+
+        if cfg.non_semantic:
+            t0 = time.time()
+            vT_modify = self.extract_basis(zt, for_prompt, mask, cfg.pca_rank).vT
+            print(f"power method runtime == {time.time() - t0:.2f}s")
+        else:
+            vT_modify = self.delta_zt_via_grad(zt, for_prompt, edit_prompt, mask)
+
+        if cfg.null_space_projection:
+            if mask is None:
+                raise ValueError("null-space projection requires a mask")
+            vT_null = self.extract_basis(zt, for_prompt,
+                                         ~np.asarray(mask, bool),
+                                         cfg.pca_rank_null).vT
+            vT = null_space_project(vT_modify, vT_null, cfg.pca_rank_null)
+        else:
+            vT = normalize_rows(vT_modify)
+        save_directions(os.path.join(out_dir, "basis", "vT.npz"), np.asarray(vT))
+
+        strip = x_space_guidance_strip(
+            jnp.asarray(zt), vT[0], scale=cfg.x_space_guidance_scale,
+            edit_step=cfg.x_space_guidance_edit_step,
+            num_steps=cfg.x_space_guidance_num_step, vis_num=cfg.vis_num)
+        _, den = self.forward_steps(strip, for_prompt, cfg.edit_t_idx, None)
+        img = self.decode_to_image(den)
+        if cfg.save_images:
+            save_image_grid(img, os.path.join(
+                out_dir, f"edit-lcm-idx{cfg.edit_t_idx}.png"))
+        return {"zt": np.asarray(zt), "vT": np.asarray(vT), "image": img,
+                "out_dir": out_dir}
