@@ -64,10 +64,18 @@ jax.tree_util.register_pytree_node(
 
 def init_probes(key: jax.Array, rank: int, d_in: int) -> jnp.ndarray:
     """Random orthonormal probe matrix (rank, d_in), f32 — the reference's
-    randn + QR initialization (edit.py:2435-2438)."""
-    g = jax.random.normal(key, (d_in, rank), jnp.float32)
-    q, _ = jnp.linalg.qr(g)
-    return q.T
+    randn + QR initialization (edit.py:2435-2438). Orthonormalized by
+    modified Gram-Schmidt over the (small, static) rank axis: a tall-skinny
+    jnp.linalg.qr lowers to a huge Householder loop on TPU and dominates
+    compile time; MGS is `rank` fused vector ops."""
+    g = jax.random.normal(key, (rank, d_in), jnp.float32)
+    rows = []
+    for i in range(rank):
+        v = g[i]
+        for q in rows:
+            v = v - jnp.dot(q, v) * q
+        rows.append(v / jnp.linalg.norm(v))
+    return jnp.stack(rows)
 
 
 def subspace_iteration(

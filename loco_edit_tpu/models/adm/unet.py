@@ -212,7 +212,13 @@ class ADMUNet(nn.Module):
         self.out_conv = _conv(self.cfg.out_channels, zero_init=True,
                               dtype=jnp.float32, name="out_conv")
 
-    def __call__(self, x, t, y=None, *, train: bool = False, return_sigma: bool = False):
+    def __call__(self, x, t, y=None, *, train: bool = False,
+                 return_sigma: bool = False, return_h: bool = False,
+                 h_inject: jnp.ndarray | None = None):
+        """return_h: also return the mid-block bottleneck feature (the
+        reference's h-space tap, get_h at guided_diffusion/unet.py:686-702);
+        h_inject: add an offset to the bottleneck before decoding (the
+        PullBackDDPM h-injection forward, ddpm/diffusion.py:145-200)."""
         cfg = self.cfg
         b = x.shape[0]
         t = jnp.broadcast_to(jnp.atleast_1d(jnp.asarray(t)), (b,))
@@ -237,6 +243,9 @@ class ADMUNet(nn.Module):
             h = block(m, h, emb, train=train)
             skips.append(h)
         h = block(self.middle, h, emb, train=train)
+        h_mid = h
+        if h_inject is not None:
+            h = h + h_inject.reshape(h.shape[1:])[None].astype(h.dtype)
         for m in self.out_blocks:
             h = jnp.concatenate([h, skips.pop()], axis=-1)
             h = block(m, h, emb, train=train)
@@ -246,5 +255,9 @@ class ADMUNet(nn.Module):
 
         if cfg.learn_sigma:
             eps, logvar = jnp.split(h, 2, axis=-1)
-            return (eps, logvar) if return_sigma else eps
-        return (h, None) if return_sigma else h
+            out = (eps, logvar) if return_sigma else eps
+        else:
+            out = (h, None) if return_sigma else h
+        if return_h:
+            return (out if isinstance(out, tuple) else (out,)) + (h_mid,)
+        return out
