@@ -89,12 +89,16 @@ def subspace_iteration(
     max_iter: int = 50,
     tol: float = 1e-4,
     probe_chunk: int | None = None,
+    probe_sharding=None,
 ) -> EditBasis:
     """Estimate the top-`rank` right-singular subspace of d f / d x at x.
 
     f: x -> y, shapes static. mask: optional 0/1 (or soft) weight broadcastable
     to y. probe_chunk: evaluate probes in chunks of this size via lax.map to
-    bound memory (None = all at once).
+    bound memory (None = all at once). probe_sharding: optional NamedSharding
+    (e.g. P("probe")) pinning the probe axis to the mesh so the batched
+    tangent/cotangent network passes split across chips over ICI — the
+    embarrassingly-parallel axis the reference serializes in host chunks.
     """
     x = jnp.asarray(x)
     d_in = x.size
@@ -131,14 +135,21 @@ def subspace_iteration(
             lambda ui: vjp_lin(ui)[0].reshape(d_in).astype(jnp.float32), u)
         return u, vp
 
-    v0 = init_probes(key, rank, d_in)
+    def _pin(arr):
+        if probe_sharding is None:
+            return arr
+        return jax.lax.with_sharding_constraint(arr, probe_sharding)
+
+    v0 = _pin(init_probes(key, rank, d_in))
     out_shape = jax.eval_shape(fw, x)
     u0 = jnp.zeros((rank,) + out_shape.shape, out_shape.dtype)
     s0 = jnp.zeros((rank,), jnp.float32)
 
     def body(carry):
         i, v, _, _, _ = carry
-        u, vp = sweep(v)                         # u = J v ; vp = u^T J
+        u, vp = sweep(_pin(v))                   # u = J v ; vp = u^T J
+        u = _pin(u)
+        vp = _pin(vp)
         # right-singular vectors of vp via the (rank x rank) Gram matrix
         gram = vp @ vp.T                         # f32
         w, q = jnp.linalg.eigh(gram)             # ascending

@@ -62,6 +62,7 @@ class UncondEditConfig:
     max_iter: int = 50
     convergence_threshold: float = 1e-4
     probe_chunk: int | None = None
+    mesh_probe: int = 0          # shard probes over this many devices (0 = off)
     result_folder: str = "./runs"
     save_images: bool = True
 
@@ -121,12 +122,23 @@ class UncondEditPipeline:
         f = self.pullback_fn(None)
         m = None if mask is None else jnp.asarray(mask, jnp.float32)
 
+        probe_sharding = None
+        if cfg.mesh_probe > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from loco_edit_tpu.core.mesh import PROBE_AXIS, make_mesh
+
+            mesh = make_mesh({PROBE_AXIS: cfg.mesh_probe},
+                             devices=jax.devices()[:cfg.mesh_probe])
+            probe_sharding = NamedSharding(mesh, P(PROBE_AXIS))
+
         def build():
             def run(x, mw, key):
                 return subspace_iteration(
                     f, x, key, rank=rank,
                     mask=mw, min_iter=cfg.min_iter, max_iter=cfg.max_iter,
-                    tol=cfg.convergence_threshold, probe_chunk=cfg.probe_chunk)
+                    tol=cfg.convergence_threshold, probe_chunk=cfg.probe_chunk,
+                    probe_sharding=probe_sharding)
             return jax.jit(run)
 
         key = ("basis", xt.shape, rank, mask is not None)

@@ -127,6 +127,22 @@ def test_walk_strip_geometry():
     np.testing.assert_allclose(float(s1[-1, 0, 0, 0]), 8.0)
 
 
+def test_probe_sharding_constraint_matches_unsharded():
+    """with_sharding_constraint path (the in-graph probe pinning the
+    pipelines use) must not change results."""
+    mesh = make_mesh({PROBE_AXIS: 8})
+    m, _, _ = _linear_map_with_gaps(jax.random.key(21))
+    f = lambda x: (m @ x.reshape(-1)).reshape(SHAPE)
+    x = jnp.zeros(SHAPE)
+    sharding = NamedSharding(mesh, P(PROBE_AXIS))
+    kw = dict(rank=8, min_iter=3, max_iter=20, tol=1e-6)
+    b_plain = subspace_iteration(f, x, jax.random.key(22), **kw)
+    b_shard = jax.jit(lambda z: subspace_iteration(
+        f, z, jax.random.key(22), probe_sharding=sharding, **kw).vT)(x)
+    np.testing.assert_allclose(np.asarray(b_shard)[:5],
+                               np.asarray(b_plain.vT)[:5], atol=1e-4)
+
+
 def test_probe_sharded_iteration_matches_single_device():
     mesh = make_mesh({PROBE_AXIS: 8})
     m, _, _ = _linear_map_with_gaps(jax.random.key(15))
