@@ -81,6 +81,16 @@ _PRESET_KWARGS: dict[str, dict] = {
                      attention_resolutions="32,16,8", num_head_channels=64),
     "LSUN_horse": dict(image_size=256, num_channels=256, num_res_blocks=2,
                        attention_resolutions="32,16,8", num_head_channels=64),
+    # improved-diffusion vintage (reference script_util IMAGENET_64_UNCOND /
+    # CIFAR10 dicts; cosine-schedule checkpoints; the live edit path never
+    # loads them but g_DDPM can, script_util.py:238-244)
+    "ImageNet64Uncond": dict(image_size=64, num_channels=128, num_res_blocks=3,
+                             attention_resolutions="16,8", num_heads=4,
+                             use_scale_shift_norm=True, resblock_updown=False),
+    "CIFAR10Uncond": dict(image_size=32, num_channels=128, num_res_blocks=3,
+                          attention_resolutions="16,8", num_heads=4,
+                          use_scale_shift_norm=True, resblock_updown=False,
+                          dropout=0.3),
 }
 
 PRESETS = tuple(sorted(_PRESET_KWARGS))

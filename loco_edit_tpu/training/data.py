@@ -50,7 +50,8 @@ class ShardedImageLoader:
     def __init__(self, data_dir: str, batch_size: int, image_size: int = 256,
                  class_cond: bool = False, seed: int = 0,
                  process_index: int | None = None,
-                 process_count: int | None = None):
+                 process_count: int | None = None,
+                 use_native: bool = True):
         import jax
 
         self.files = list_image_files_recursively(data_dir)
@@ -62,6 +63,12 @@ class ShardedImageLoader:
         pi = jax.process_index() if process_index is None else process_index
         pc = jax.process_count() if process_count is None else process_count
         self.files = self.files[pi::pc]
+        self._native = None
+        if use_native:
+            from loco_edit_tpu import native
+
+            if native.available():
+                self._native = native
         self.labels = None
         if class_cond:
             names = [os.path.basename(p).split("_")[0] for p in self.files]
@@ -75,8 +82,18 @@ class ShardedImageLoader:
             order = self.rng.permutation(n)
             for s in range(0, n - self.batch_size + 1, self.batch_size):
                 idx = order[s:s + self.batch_size]
-                imgs = np.stack([
-                    _center_crop_resize(Image.open(self.files[i]), self.image_size)
-                    for i in idx])
+                if self._native is not None:
+                    try:
+                        imgs = self._native.load_batch(
+                            [self.files[i] for i in idx], self.image_size)
+                    except IOError:
+                        imgs = None
+                else:
+                    imgs = None
+                if imgs is None:
+                    imgs = np.stack([
+                        _center_crop_resize(Image.open(self.files[i]),
+                                            self.image_size)
+                        for i in idx])
                 labels = None if self.labels is None else self.labels[idx]
                 yield imgs, labels
