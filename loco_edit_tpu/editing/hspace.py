@@ -1,0 +1,48 @@
+"""h-space (bottleneck) analysis utilities.
+
+Counterparts of the reference PullBackDDPM's h-space methods
+(src/models/ddpm/diffusion.py: get_h :202, get_h_to_e :273, inv_jac_xt :347,
+local_pca_xt :379, global_pca_xt :438; ADM variant get_h / local_encoder
+pullback at guided_diffusion/unet.py:686-781): the encoder pullback finds
+x-space directions whose images under d h / d x are the top singular
+directions; h_to_e measures how bottleneck perturbations move the epsilon
+output. Built on the same subspace iteration as the main edit algebra."""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from loco_edit_tpu.editing.pullback import EditBasis, subspace_iteration
+
+
+def local_encoder_pullback(h_fn: Callable, x: jnp.ndarray, key: jax.Array, *,
+                           rank: int, **kw) -> EditBasis:
+    """Top right-singular directions of d h(x) / d x, where h_fn maps x_t to
+    the bottleneck feature (e.g. lambda z: model.apply(p, z, t, return_h=True)[-1])."""
+    return subspace_iteration(h_fn, x, key, rank=rank, **kw)
+
+
+def h_to_e(eps_fn_with_inject: Callable, x: jnp.ndarray, u_h: jnp.ndarray,
+           scale: float = 1.0) -> jnp.ndarray:
+    """Epsilon response to a bottleneck perturbation u_h:
+    eps(x | h + scale*u_h) - eps(x) (reference get_h_to_e)."""
+    base = eps_fn_with_inject(x, None)
+    pert = eps_fn_with_inject(x, scale * u_h)
+    return pert - base
+
+
+def local_pca_h(h_fn: Callable, x: jnp.ndarray, key: jax.Array, *,
+                rank: int, eps: float = 1e-2, n_probes: int = 64) -> jnp.ndarray:
+    """PCA of bottleneck features under small input perturbations (the
+    reference's local_pca_xt capability): returns (rank, d_h) components."""
+    h0 = h_fn(x).reshape(-1)
+    probes = jax.random.normal(key, (n_probes,) + x.shape, x.dtype) * eps
+    hs = jax.vmap(lambda p: h_fn(x + p).reshape(-1))(probes)
+    centered = (hs - h0[None]).astype(jnp.float32)
+    gram = centered @ centered.T
+    w, q = jnp.linalg.eigh(gram)
+    comps = (q[:, ::-1][:, :rank].T @ centered)
+    return comps / jnp.linalg.norm(comps, axis=1, keepdims=True)
