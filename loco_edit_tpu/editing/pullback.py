@@ -31,7 +31,6 @@ TPU-native redesign (the source of the headline speedup):
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Callable
 
 import jax

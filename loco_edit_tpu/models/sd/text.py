@@ -9,7 +9,6 @@ tests and smoke runs.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Callable
 
 import jax

@@ -10,7 +10,6 @@ for dense kernels (I, O) also dim -1; biases/norm params stay replicated.
 from __future__ import annotations
 
 import jax
-import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 TP_AXIS = "tp"

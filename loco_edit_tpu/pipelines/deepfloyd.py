@@ -269,8 +269,8 @@ class IFEditPipeline:
                                                   cfg.tilda_v_score_type)
         else:
             t0 = time.time()
-            vT_modify = self.extract_basis(xt, prompts, "null+(for-null)",
-                                           mask, cfg.pca_rank).vT
+            vT_modify = jax.block_until_ready(self.extract_basis(
+                xt, prompts, "null+(for-null)", mask, cfg.pca_rank).vT)
             print(f"power method runtime == {time.time() - t0:.2f}s")
 
         if cfg.null_space_projection:

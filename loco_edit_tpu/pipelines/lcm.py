@@ -183,7 +183,8 @@ class LCMEditPipeline:
 
         if cfg.non_semantic:
             t0 = time.time()
-            vT_modify = self.extract_basis(zt, for_prompt, mask, cfg.pca_rank).vT
+            vT_modify = jax.block_until_ready(
+                self.extract_basis(zt, for_prompt, mask, cfg.pca_rank).vT)
             print(f"power method runtime == {time.time() - t0:.2f}s")
         else:
             vT_modify = self.delta_zt_via_grad(zt, for_prompt, edit_prompt, mask)

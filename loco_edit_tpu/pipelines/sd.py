@@ -24,7 +24,6 @@ from loco_edit_tpu.core.rng import RngStream
 from loco_edit_tpu.diffusion import LinspaceDDIM
 from loco_edit_tpu.diffusion.sampling import ddim_scan
 from loco_edit_tpu.editing import (
-    load_directions,
     normalize_rows,
     null_space_project,
     save_directions,
@@ -239,8 +238,8 @@ class SDEditPipeline:
                                                cfg.tilda_v_score_type)
         else:
             t0 = time.time()
-            vT_modify = self.extract_basis(zt, prompts, "null+(for-null)",
-                                           mask, cfg.pca_rank).vT
+            vT_modify = jax.block_until_ready(self.extract_basis(
+                zt, prompts, "null+(for-null)", mask, cfg.pca_rank).vT)
             print(f"power method runtime == {time.time() - t0:.2f}s")
 
         if cfg.null_space_projection:

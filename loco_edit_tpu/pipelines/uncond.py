@@ -17,7 +17,6 @@ from __future__ import annotations
 import dataclasses
 import os
 import time
-from functools import partial
 from typing import Callable
 
 import jax
@@ -186,7 +185,7 @@ class UncondEditPipeline:
             else:
                 t0 = time.time()
                 basis = self.extract_basis(xt, mask, cfg.pca_rank)
-                vT_modify = basis.vT
+                vT_modify = jax.block_until_ready(basis.vT)
                 print(f"power method runtime == {time.time() - t0:.2f}s "
                       f"({int(basis.iters)} iters)")
                 save_directions(mod_path, np.asarray(vT_modify),
@@ -205,7 +204,7 @@ class UncondEditPipeline:
                     t0 = time.time()
                     nbasis = self.extract_basis(
                         xt, ~np.asarray(mask, bool), cfg.pca_rank_null)
-                    vT_null = nbasis.vT
+                    vT_null = jax.block_until_ready(nbasis.vT)
                     print(f"null-space power method runtime == {time.time() - t0:.2f}s")
                     save_directions(null_path, np.asarray(vT_null),
                                     edit_t=cfg.edit_t, rank=cfg.pca_rank_null)
