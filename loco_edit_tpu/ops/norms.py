@@ -16,17 +16,33 @@ import jax.numpy as jnp
 def group_norm_f32(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
                    num_groups: int = 32, eps: float = 1e-5) -> jnp.ndarray:
     """GroupNorm over the channel (last) axis of an NHWC/N..C tensor, computed
-    in float32 and cast back to x.dtype."""
+    in float32 and cast back to x.dtype.
+
+    Layout note: the naive reshape to (..., groups, C/groups) puts C/groups
+    (often 4) on the TPU lane axis and forces full-tensor relayout copies —
+    profiled at ~35% of a 256px U-Net step. Instead reduce the spatial axes
+    first (channels stay on the lanes), group-reduce the tiny (B, C) stats,
+    and normalize elementwise in the native layout."""
     orig_dtype = x.dtype
-    xf = x.astype(jnp.float32)
-    b = xf.shape[0]
-    c = xf.shape[-1]
-    spatial = xf.shape[1:-1]
+    b = x.shape[0]
+    c = x.shape[-1]
     g = num_groups
-    xg = xf.reshape(b, -1, g, c // g)
-    mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
-    var = jnp.var(xg, axis=(1, 3), keepdims=True)
-    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
-    xf = xg.reshape(b, *spatial, c)
-    xf = xf * scale.astype(jnp.float32) + bias.astype(jnp.float32)
-    return xf.astype(orig_dtype)
+    cg = c // g
+    n = x.size // (b * c) * cg  # elements per group
+
+    xf = x.astype(jnp.float32)
+    axes = tuple(range(1, x.ndim - 1))
+    s = jnp.sum(xf, axis=axes)          # (B, C)
+    ss = jnp.sum(xf * xf, axis=axes)    # (B, C)
+    sg = jnp.sum(s.reshape(b, g, cg), axis=-1)    # (B, G) — tiny
+    ssg = jnp.sum(ss.reshape(b, g, cg), axis=-1)
+    mean_g = sg / n
+    var_g = jnp.maximum(ssg / n - mean_g * mean_g, 0.0)
+    rstd_g = jax.lax.rsqrt(var_g + eps)
+    # expand group stats back to per-channel (tiny), then broadcast
+    mean_c = jnp.repeat(mean_g, cg, axis=1)       # (B, C)
+    rstd_c = jnp.repeat(rstd_g, cg, axis=1)
+    shape = (b,) + (1,) * (x.ndim - 2) + (c,)
+    out = (xf - mean_c.reshape(shape)) * rstd_c.reshape(shape)
+    out = out * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return out.astype(orig_dtype)
