@@ -30,10 +30,12 @@ def group_norm_f32(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
     cg = c // g
     n = x.size // (b * c) * cg  # elements per group
 
-    xf = x.astype(jnp.float32)
+    # convert inline in each consumer: a materialized f32 copy of the full
+    # tensor (shared by the reductions and the normalize) profiles ~2x worse
+    # in HBM traffic than three convert-fused passes over the bf16 input
     axes = tuple(range(1, x.ndim - 1))
-    s = jnp.sum(xf, axis=axes)          # (B, C)
-    ss = jnp.sum(xf * xf, axis=axes)    # (B, C)
+    s = jnp.sum(x.astype(jnp.float32), axis=axes)                    # (B, C)
+    ss = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=axes)       # (B, C)
     sg = jnp.sum(s.reshape(b, g, cg), axis=-1)    # (B, G) — tiny
     ssg = jnp.sum(ss.reshape(b, g, cg), axis=-1)
     mean_g = sg / n
@@ -43,6 +45,6 @@ def group_norm_f32(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
     mean_c = jnp.repeat(mean_g, cg, axis=1)       # (B, C)
     rstd_c = jnp.repeat(rstd_g, cg, axis=1)
     shape = (b,) + (1,) * (x.ndim - 2) + (c,)
-    out = (xf - mean_c.reshape(shape)) * rstd_c.reshape(shape)
+    out = (x.astype(jnp.float32) - mean_c.reshape(shape)) * rstd_c.reshape(shape)
     out = out * scale.astype(jnp.float32) + bias.astype(jnp.float32)
     return out.astype(orig_dtype)
