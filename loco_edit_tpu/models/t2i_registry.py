@@ -85,23 +85,26 @@ def load_sd_bundle(args, lcm: bool = False):
 
 
 def load_if_bundle(args):
-    """DeepFloyd-IF stage 1 structural stand-in: a pixel-space learned-sigma
-    conditional UNet at 64px with T5-width cross attention. NOTE: the exact
-    IF-I-M architecture (added-KV attention blocks) and its converter are a
-    known gap tracked for the next round; the engine semantics above it are
-    complete."""
+    """DeepFloyd-IF stage 1: the IF-architecture UNet (added-KV attention,
+    resnet up/downsampling, T5 conditioning through encoder_hid_proj). The
+    published IF-I-M width/depth numbers and the checkpoint converter are
+    pending config access (docs/PARITY.md known gaps); the block zoo and the
+    engine above it are complete."""
     dtype = jnp.bfloat16 if args.dtype in ("bf16", "fp16") else jnp.float32
-    base = sd_preset("sd15", dtype=dtype)
-    import dataclasses as dc
+    from loco_edit_tpu.models.ifm import IFUNet, IFUNetConfig
 
-    cfg = dc.replace(base, in_channels=3, out_channels=6, sample_size=64,
-                     cross_attention_dim=4096 if args.text_encoder_path else 64)
-    model = SDUNet(cfg)
-    ctx0 = jnp.zeros((1, 77, cfg.cross_attention_dim))
+    hid = 4096 if args.text_encoder_path else 64
+    cfg = IFUNetConfig(encoder_hid_dim=hid, dtype=dtype)
+    model = IFUNet(cfg)
+    ctx0 = jnp.zeros((1, 77, cfg.encoder_hid_dim))
     x0 = jnp.zeros((1, 64, 64, 3))
-    params = _load_unet_params(model, args.checkpoint_path, (x0, 500.0, ctx0))
+    if args.checkpoint_path:
+        raise NotImplementedError(
+            "IF checkpoint conversion needs the published UNet config "
+            "(unavailable offline); tracked in docs/PARITY.md")
+    params = jax.jit(model.init)(jax.random.key(0), x0, 500.0, ctx0)
     return {
         "unet_apply": lambda x, t, c: model.apply(params, x, t, c),
-        "prompt_encoder": _prompt_encoder(args, "t5", cfg.cross_attention_dim),
+        "prompt_encoder": _prompt_encoder(args, "t5", cfg.encoder_hid_dim),
         "sample_shape": (64, 64, 3),
     }
