@@ -9,8 +9,29 @@ profitable.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+
+def _use_pallas_stats(x: jnp.ndarray) -> bool:
+    # Measured on v5-lite (256px P2 U-Net, batch 9): the one-pass Pallas
+    # stats kernel runs the step at 65 ms vs 47.7 ms for the XLA path — XLA
+    # fuses the convert+reduce into surrounding producers, which the opaque
+    # pallas_call blocks. Kept as opt-in (LOCO_ENABLE_PALLAS_GN=1) for
+    # shapes/hardware where one-pass wins; see BENCH.md.
+    if not os.environ.get("LOCO_ENABLE_PALLAS_GN"):
+        return False
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except RuntimeError:
+        return False
+    if not on_tpu:
+        return False
+    from loco_edit_tpu.ops.pallas.groupnorm_stats import stats_supported
+
+    return stats_supported(x)
 
 
 def group_norm_f32(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
@@ -32,10 +53,17 @@ def group_norm_f32(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
 
     # convert inline in each consumer: a materialized f32 copy of the full
     # tensor (shared by the reductions and the normalize) profiles ~2x worse
-    # in HBM traffic than three convert-fused passes over the bf16 input
+    # in HBM traffic than convert-fused passes over the bf16 input. On TPU
+    # the sum and sum-of-squares collapse into ONE pass via the Pallas stats
+    # kernel (ops/pallas/groupnorm_stats.py).
     axes = tuple(range(1, x.ndim - 1))
-    s = jnp.sum(x.astype(jnp.float32), axis=axes)                    # (B, C)
-    ss = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=axes)       # (B, C)
+    if _use_pallas_stats(x):
+        from loco_edit_tpu.ops.pallas.groupnorm_stats import groupnorm_stats
+
+        s, ss = groupnorm_stats(x)                                   # (B, C)
+    else:
+        s = jnp.sum(x.astype(jnp.float32), axis=axes)                # (B, C)
+        ss = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=axes)   # (B, C)
     sg = jnp.sum(s.reshape(b, g, cg), axis=-1)    # (B, G) — tiny
     ssg = jnp.sum(ss.reshape(b, g, cg), axis=-1)
     mean_g = sg / n
