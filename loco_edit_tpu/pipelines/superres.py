@@ -1,0 +1,76 @@
+"""IF stage-2 super-resolution sampler.
+
+The reference upscales stage-1 outputs through the diffusers IF-II pipeline
+(superresolution, src/modules/edit.py:1375-1392; stage 3 is disabled there).
+Here stage 2 is a first-class sampler over an IF-architecture UNet whose
+input is [x_t | bilinear-upsampled stage-1 image] (channel concat, the
+standard cascade conditioning), denoised with the same linspace DDIM grid and
+CFG under the 'for' prompt. Returns images in [-1, 1]."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from loco_edit_tpu.core.rng import RngStream
+from loco_edit_tpu.diffusion import LinspaceDDIM
+from loco_edit_tpu.diffusion.sampling import ddim_scan
+from loco_edit_tpu.editing.cfg import cfg_eps
+
+
+class SuperResSampler:
+    """unet_apply(x_2c, t, ctx) -> (B, H, W, 2*C) learned-sigma output, where
+    x_2c = [noisy target | conditioning image] on channels (an IF-style UNet
+    with in_channels = 2*C). Plug an instance into IFEditPipeline(superres=...)."""
+
+    def __init__(self, unet_apply, prompt_encoder, *, out_size: int = 256,
+                 channels: int = 3, steps: int = 50, guidance_scale: float = 4.0,
+                 t_max: int = 990, rng: RngStream | None = None):
+        self.out_size = out_size
+        self.c = channels
+        self.guidance_scale = guidance_scale
+        self.prompt_encoder = prompt_encoder
+        self.scheduler = LinspaceDDIM(t_max=t_max)
+        self.grid = self.scheduler.generation_grid(steps)
+        self.rng = rng or RngStream.from_seed(0)
+        c = channels
+        self.unet_apply = lambda x, t, ctx: unet_apply(x, t, ctx)[..., :c]
+        self._jit_cache: dict = {}
+        self._emb_cache: dict = {}
+
+    def _emb(self, prompt: str):
+        if prompt not in self._emb_cache:
+            self._emb_cache[prompt] = self.prompt_encoder(prompt)
+        return self._emb_cache[prompt]
+
+    def __call__(self, low_res, prompt: str) -> jnp.ndarray:
+        """low_res: (B, h, w, C) in [-1, 1] -> (B, out_size, out_size, C)."""
+        low_res = jnp.asarray(low_res)
+        b = low_res.shape[0]
+        prompts = {"for": self._emb(prompt), "edit": self._emb(""),
+                   "null": self._emb("")}
+
+        key = (b, prompt)
+        if key not in self._jit_cache:
+
+            def run(xT, cond):
+                def unet_with_cond(x, t, ctx_in):
+                    # cfg_eps stacks the CFG variants on the batch axis; the
+                    # conditioning image is replicated to match
+                    reps = x.shape[0] // cond.shape[0]
+                    cc = jnp.concatenate([cond] * reps, axis=0).astype(x.dtype)
+                    return self.unet_apply(
+                        jnp.concatenate([x, cc], axis=-1), t, ctx_in)
+
+                eps = lambda x, t: cfg_eps(  # noqa: E731
+                    unet_with_cond, x, t, prompts, "null+(for-null)",
+                    self.guidance_scale, enabled=self.guidance_scale > 1.0)
+                return ddim_scan(eps, xT, self.grid)
+
+            self._jit_cache[key] = jax.jit(run)
+
+        up = jax.image.resize(
+            low_res, (b, self.out_size, self.out_size, self.c), "bilinear")
+        xT = jax.random.normal(self.rng.fork("sr-noise").key,
+                               (b, self.out_size, self.out_size, self.c))
+        return jnp.clip(self._jit_cache[key](xT, up), -1.0, 1.0)
