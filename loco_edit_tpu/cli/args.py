@@ -5,7 +5,10 @@
 (define_argparser.py:138-249): family booleans, run folders with script/source
 archiving, per-family input sizes, x-space-guidance scale lookup, and the
 scheduler invariants, while dropping flags the reference parses but never
-consumes (edit_xt, h_edit_step_size, run_*_forward — SURVEY.md dead paths).
+consumes (edit_xt, h_edit_step_size, run_*_forward, num_imgs, neg_prompt —
+embedded at edit.py:527 but never used by any CFG mode — original_prompt,
+no_edit_t — idx computed at edit.py:1268, unused — debug_mode; SURVEY.md
+dead paths). Every flag parsed here is consumed.
 """
 
 from __future__ import annotations
@@ -54,7 +57,6 @@ def parse_args(argv=None):
         help="local VAE checkpoint (SD/LCM engines)")
     add("--text_encoder_path", type=str, default="",
         help="local transformers dir for CLIP (SD/LCM) or T5 (IF)")
-    add("--num_imgs", type=int, default=100)
     add("--image_size", type=int, default=256)
     add("--c_in", type=int, default=3)
     add("--sample_idx", type=int, default=0)
@@ -62,9 +64,7 @@ def parse_args(argv=None):
     # prompts (T2I engines)
     add("--for_prompt", type=str, default="")
     add("--inv_prompt", type=str, default="")
-    add("--neg_prompt", type=str, default="")
     add("--edit_prompt", type=str, default="")
-    add("--original_prompt", type=str, default="")
 
     # diffusion schedule
     add("--for_steps", type=int, default=100)
@@ -86,7 +86,6 @@ def parse_args(argv=None):
     add("--pca_rank_null", type=int, default=5)
     add("--h_t", type=float, default=0.8)
     add("--edit_t", type=float, default=1.0)
-    add("--no_edit_t", type=float, default=0.5)
 
     # memory / execution
     add("--memory_bound", type=int, default=0, help="0 = no batch chunking")
@@ -114,7 +113,6 @@ def parse_args(argv=None):
     add("--note", type=str, default="")
 
     # modes
-    add("--debug_mode", type=str2bool, default=False)
     add("--sampling_mode", type=str2bool, default=False)
 
     # mask segmentation

@@ -42,13 +42,15 @@ def build_uncond_pipeline(args):
         null_space_projection=args.null_space_projection,
         encoder_decoder_by_et=args.encoder_decoder_by_et,
         probe_chunk=args.probe_chunk or None,
+        mesh_probe=args.mesh_probe,
+        memory_bound=args.memory_bound,
         result_folder=args.result_folder,
     )
     scheduler = LinspaceDDIM(noise_schedule=args.noise_schedule)
     return UncondEditPipeline(denoiser, cfg, rng, scheduler), denoiser, rng
 
 
-def get_sample_and_mask(args, denoiser, rng):
+def get_sample_and_mask(args, pipe, denoiser, rng):
     """Resolve the input image (dataset sample or seeded noise) and the edit
     mask (GT semantics / SAM cache / none), mirroring the reference's branches
     (src/modules/edit.py:2234-2267)."""
@@ -60,7 +62,11 @@ def get_sample_and_mask(args, denoiser, rng):
 
         xT = np.asarray(jax.random.normal(
             rng.fork("xT").key, (1, h, w, c), "float32"))
-        mask = _sam_mask(args, None) if args.use_mask else None
+        # SAM needs a decoded image: denoise xT to x0 lazily (only when the
+        # mask cache is cold) rather than handing SAM a None image.
+        mask = _sam_mask(args, None,
+                         make_image=lambda: np.asarray(pipe.generate(xT, 0, None))
+                         ) if args.use_mask else None
         return None, xT, mask
     dataset = get_dataset(args.dataset_name, args.dataset_root, args.image_size,
                           save_path=os.path.join(args.result_folder, "dataset"))
@@ -72,10 +78,11 @@ def get_sample_and_mask(args, denoiser, rng):
     return x0, None, mask
 
 
-def _sam_mask(args, x0):
+def _sam_mask(args, x0, make_image=None):
     """SAM two-phase protocol: --sampling_mode extracts+caches masks then
     exits; the follow-up run selects --mask_index (reference
-    src/modules/mask_segmentation.py + edit.py:2237-2247)."""
+    src/modules/mask_segmentation.py + edit.py:2237-2247). make_image supplies
+    a generated sample lazily when x0 is None (the Random-dataset case)."""
     mask_path = os.path.join(args.result_folder, f"sample_idx{args.sample_idx}",
                              "mask", "mask.npz")
     if os.path.exists(mask_path):
@@ -85,6 +92,10 @@ def _sam_mask(args, x0):
     if args.sampling_mode:
         from loco_edit_tpu.masks.sam import extract_and_cache_masks
 
+        if x0 is None:
+            if make_image is None:
+                raise ValueError("Random + SAM needs a generated image; none available")
+            x0 = make_image()
         extract_and_cache_masks(args, x0, mask_path)
         print("sampling_mode: masks extracted; rerun with --mask_index")
         sys.exit(0)
@@ -114,7 +125,7 @@ def main(argv=None):
                         os.path.join(args.result_folder, "DDIMforward.png"))
 
     if args.run_ddim_inversion:
-        x0, _, _ = get_sample_and_mask(args, denoiser, rng)
+        x0, _, _ = get_sample_and_mask(args, pipe, denoiser, rng)
         xT = pipe.invert(x0)
         from loco_edit_tpu.utils.io import save_image_grid
 
@@ -122,14 +133,14 @@ def main(argv=None):
                         os.path.join(args.result_folder, "DDIMinversion.png"))
 
     if args.run_edit_null_space_projection:
-        x0, xT, mask = get_sample_and_mask(args, denoiser, rng)
+        x0, xT, mask = get_sample_and_mask(args, pipe, denoiser, rng)
         pipe.run_edit_null_space_projection(
             x0=x0, xT=xT, mask=mask,
             sample_name=f"sample_idx{args.sample_idx}",
             vT_path=args.vT_path or None, random_edit=args.random_edit)
 
     if args.group_edit_null_space_projection:
-        x0, xT, mask = get_sample_and_mask(args, denoiser, rng)
+        x0, xT, mask = get_sample_and_mask(args, pipe, denoiser, rng)
         if xT is None:
             xT = np.asarray(pipe.invert(x0))
         pipe.group_edit(xT, [args.vT_path, args.vT1_path],

@@ -12,9 +12,12 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def normalize_rows(vT: jnp.ndarray, eps: float = 0.0) -> jnp.ndarray:
+def normalize_rows(vT: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """Row-normalize; eps guards the degenerate case where projection (or a
+    loaded zero direction) annihilates a row — without it the NaN would
+    silently propagate into saved direction files and edited strips."""
     n = jnp.linalg.norm(vT, axis=1, keepdims=True)
-    return vT / (n + eps)
+    return vT / jnp.maximum(n, eps)
 
 
 def null_space_project(vT_modify: jnp.ndarray, vT_null: jnp.ndarray,

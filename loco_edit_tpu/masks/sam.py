@@ -19,16 +19,20 @@ from loco_edit_tpu.utils.io import to_uint8
 
 
 def segment_image(image_uint8: np.ndarray, model_name: str = "facebook/sam-vit-large",
-                  filter_mask: int = 100, resolution: int = 256) -> np.ndarray:
+                  filter_mask: int = 100, resolution: int = 256,
+                  cache_folder: str | None = None) -> np.ndarray:
     """Run SAM mask-generation; returns (N, H, W) boolean masks resized to
-    `resolution`, filtered by minimum area (reference filter_mask=100)."""
+    `resolution`, filtered by minimum area (reference filter_mask=100).
+    cache_folder is the HF weights cache dir (reference
+    mask_segmentation.py:11 cache_dir=args.cache_folder)."""
     try:
         from transformers import pipeline
     except ImportError as e:  # pragma: no cover
         raise ImportError("SAM masking needs transformers") from e
     from PIL import Image
 
-    generator = pipeline("mask-generation", model=model_name)
+    kw = {"model_kwargs": {"cache_dir": cache_folder}} if cache_folder else {}
+    generator = pipeline("mask-generation", model=model_name, **kw)
     pil = Image.fromarray(image_uint8)
     outputs = generator(pil, points_per_batch=64)
     masks = []
@@ -48,7 +52,8 @@ def extract_and_cache_masks(args, x0: np.ndarray, mask_path: str) -> np.ndarray:
     """Decode x0 -> run SAM -> cache masks (+ overlay previews) at mask_path."""
     img = to_uint8(x0)[0]
     masks = segment_image(img, args.mask_model_name, args.filter_mask,
-                          resolution=args.image_size)
+                          resolution=args.image_size,
+                          cache_folder=getattr(args, "cache_folder", None) or None)
     os.makedirs(os.path.dirname(mask_path), exist_ok=True)
     # broadcast to 3 channels NHWC to match the edit mask convention
     masks3 = np.repeat(masks[:, :, :, None], 3, axis=-1)

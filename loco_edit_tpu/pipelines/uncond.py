@@ -62,6 +62,7 @@ class UncondEditConfig:
     convergence_threshold: float = 1e-4
     probe_chunk: int | None = None
     mesh_probe: int = 0          # shard probes over this many devices (0 = off)
+    memory_bound: int = 0        # chunk strip denoise batches (0 = no chunking)
     result_folder: str = "./runs"
     save_images: bool = True
 
@@ -79,6 +80,7 @@ class UncondEditPipeline:
         self.boost_eta = self.scheduler.boost_eta_flags(
             cfg.for_steps, cfg.performance_boosting_t)
         self._jit_cache: dict = {}
+        self._boost_calls = 0   # per-call noise-stream counter (see generate)
         os.makedirs(cfg.result_folder, exist_ok=True)
 
     # -- jitted primitives (cached per signature) -----------------------------
@@ -106,7 +108,37 @@ class UncondEditPipeline:
             return jax.jit(run)
 
         fn = self._jit(key, build)
-        return fn(jnp.asarray(xt), self.rng.fork("boost-eta").key)
+        # Fresh noise stream per boosted call (the reference draws fresh randn
+        # per step/call, edit.py:2556-2559): fold a call counter into the key
+        # so principal-component strips / repeated runs get independent tails.
+        noise_key = jax.random.fold_in(
+            self.rng.fork("boost-eta").key, self._boost_calls)
+        if boost:
+            self._boost_calls += 1
+        return fn(jnp.asarray(xt), noise_key)
+
+    def generate_chunked(self, xt: jnp.ndarray, start_idx: int = 0,
+                         end_idx: int | None = None, boost: bool = False):
+        """generate(), chunking the batch by cfg.memory_bound (the reference
+        chunks strip denoise at edit.py:2561-2593 to bound peak memory — a
+        rank-5 x 16-step walk strip at 256px is a 9-45 image batch). The last
+        chunk is zero-padded to the chunk size so every chunk reuses one
+        compiled program, then sliced back."""
+        mb = self.cfg.memory_bound
+        b = xt.shape[0]
+        if mb <= 0 or b <= mb:
+            return self.generate(xt, start_idx, end_idx, boost)
+        xt = jnp.asarray(xt)
+        outs = []
+        for lo in range(0, b, mb):
+            chunk = xt[lo:lo + mb]
+            pad = mb - chunk.shape[0]
+            if pad:
+                chunk = jnp.concatenate(
+                    [chunk, jnp.zeros((pad,) + xt.shape[1:], xt.dtype)], axis=0)
+            out = self.generate(chunk, start_idx, end_idx, boost)
+            outs.append(np.asarray(out[:mb - pad] if pad else out))
+        return jnp.concatenate([jnp.asarray(o) for o in outs], axis=0)
 
     def pullback_fn(self, mask: np.ndarray | None):
         t = float(self.gen_grid.t[self.edit_t_idx])
@@ -226,7 +258,7 @@ class UncondEditPipeline:
                 xt, vT[pc], scale=cfg.x_space_guidance_scale,
                 edit_step=cfg.x_space_guidance_edit_step,
                 num_steps=cfg.x_space_guidance_num_step, vis_num=cfg.vis_num)
-            edited = self.generate(strip, self.edit_t_idx, None, boost=True)
+            edited = self.generate_chunked(strip, self.edit_t_idx, None, boost=True)
             strips[pc] = np.asarray(edited)
             if cfg.save_images:
                 save_image_grid(
@@ -251,7 +283,7 @@ class UncondEditPipeline:
             cur = cur + cfg.x_space_guidance_scale * cfg.x_space_guidance_num_step * vk
             frames.append(cur)
         strip = jnp.concatenate(frames, axis=0)
-        edited = self.generate(strip, self.edit_t_idx, None, boost=True)
+        edited = self.generate_chunked(strip, self.edit_t_idx, None, boost=True)
         if cfg.save_images:
             out_dir = os.path.join(cfg.result_folder, sample_name)
             save_image_grid(np.asarray(edited),

@@ -51,7 +51,14 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     txs = []
     if cfg.max_grad_norm > 0:
         txs.append(optax.clip_by_global_norm(cfg.max_grad_norm))
-    txs.append(optax.adamw(cfg.lr, weight_decay=cfg.weight_decay))
+    # Linear LR anneal (reference train_util.py:220-226) must act on the
+    # learning rate itself: Adam normalizes out any pre-optimizer gradient
+    # scale (m/sqrt(v) is invariant), so scaling grads would be a no-op.
+    if cfg.lr_anneal_steps > 0:
+        lr = optax.linear_schedule(cfg.lr, 0.0, cfg.lr_anneal_steps)
+    else:
+        lr = cfg.lr
+    txs.append(optax.adamw(lr, weight_decay=cfg.weight_decay))
     return optax.chain(*txs)
 
 
@@ -124,11 +131,6 @@ def make_train_step(apply_fn: Callable, cfg: TrainConfig,
         (grads, loss_sum), per_losses = jax.lax.scan(micro, (zero_grads, 0.0), xs)
         grads = jax.tree.map(lambda g: g / n_micro, grads)
         loss = loss_sum / n_micro
-
-        # linear LR anneal (train_util.py:220-226) as a gradient scale
-        if cfg.lr_anneal_steps > 0:
-            frac = 1.0 - state.step.astype(jnp.float32) / cfg.lr_anneal_steps
-            grads = jax.tree.map(lambda g: g * jnp.maximum(frac, 0.0), grads)
 
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)

@@ -160,3 +160,11 @@ def test_probe_sharded_iteration_matches_single_device():
     # rotation); only the gapped top-5 rows are pointwise comparable.
     np.testing.assert_allclose(np.asarray(vt_sharded)[:5], np.asarray(vt_single)[:5],
                                atol=1e-4)
+
+
+def test_normalize_rows_zero_row_no_nan():
+    """A row annihilated by projection must not become NaN (eps floor)."""
+    vt = jnp.stack([jnp.zeros((16,)), jnp.ones((16,))])
+    out = normalize_rows(vt)
+    assert np.all(np.isfinite(np.asarray(out)))
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(out)[1]), 1.0, rtol=1e-5)

@@ -94,6 +94,37 @@ def test_group_edit_composition(pipeline_factory):
     assert np.all(np.isfinite(edited))
 
 
+def test_memory_bound_chunked_matches_unchunked(pipeline_factory):
+    """--memory_bound chunking of the strip denoise (reference
+    edit.py:2561-2593) must not change the output: chunked == unchunked."""
+    pipe, _ = pipeline_factory(memory_bound=2)
+    x = np.random.default_rng(4).normal(size=(5, 32, 32, 3)).astype(np.float32)
+    full = np.asarray(pipe.generate(jnp.asarray(x), pipe.edit_t_idx, None))
+    chunked = np.asarray(pipe.generate_chunked(jnp.asarray(x), pipe.edit_t_idx, None))
+    np.testing.assert_allclose(chunked, full, atol=1e-5)
+
+
+def test_mesh_probe_through_pipeline(pipeline_factory):
+    """--mesh_probe=8 sharded basis extraction through the pipeline wrapper
+    (8 virtual CPU devices from conftest). Strict pointwise equivalence of the
+    sharded iteration is pinned at the primitive level on a gapped linear map
+    (test_editing.py); the tiny random net's spectrum is degenerate, so here we
+    check the CLI branch runs and the identifiable quantities (singular values,
+    row norms) match the single-device pipeline."""
+    pipe_s, _ = pipeline_factory(mesh_probe=8)
+    pipe_1, _ = pipeline_factory()
+    xt = jnp.asarray(np.random.default_rng(5).normal(
+        size=(1, 32, 32, 3)).astype(np.float32))
+    mask = np.zeros((1, 32, 32, 3), bool)
+    mask[:, 8:20, 8:20, :] = True
+    b_s = pipe_s.extract_basis(xt, mask, 8)
+    b_1 = pipe_1.extract_basis(xt, mask, 8)
+    vt = np.asarray(b_s.vT)
+    assert vt.shape == (8, 32 * 32 * 3) and np.all(np.isfinite(vt))
+    np.testing.assert_allclose(np.linalg.norm(vt, axis=1), 1.0, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(b_s.s), np.asarray(b_1.s), rtol=5e-2)
+
+
 def test_no_null_projection_variant(pipeline_factory):
     pipe, _ = pipeline_factory(null_space_projection=False)
     x0 = np.random.default_rng(3).normal(size=(1, 32, 32, 3)).astype(np.float32) * 0.3
