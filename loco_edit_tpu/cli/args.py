@@ -53,6 +53,8 @@ def parse_args(argv=None):
     add("--dataset_name", type=str, default="")
     add("--checkpoint_path", type=str, default="",
         help="local torch .pt (converted on load) or .npz/orbax flax params")
+    add("--stage2_checkpoint_path", type=str, default="",
+        help="IF-II upscaler checkpoint (diffusers .pt/.bin); enables stage 2")
     add("--vae_path", type=str, default="",
         help="local VAE checkpoint (SD/LCM engines)")
     add("--text_encoder_path", type=str, default="",

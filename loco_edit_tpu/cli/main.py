@@ -259,7 +259,8 @@ def _main_t2i(args):
         tilda_v_score_type=args.tilda_v_score_type or "(for-edit)-direct",
         jacobian=args.jacobian, result_folder=args.result_folder)
     pipe = IFEditPipeline(b["unet_apply"], b["prompt_encoder"], cfg, rng,
-                          sample_shape=b["sample_shape"])
+                          sample_shape=b["sample_shape"],
+                          superres=b.get("superres"))
     semantic = args.run_edit_null_space_projection_xt_semantic
     if args.run_edit_null_space_projection_xt or semantic:
         mask = None

@@ -84,27 +84,60 @@ def load_sd_bundle(args, lcm: bool = False):
     return bundle
 
 
-def load_if_bundle(args):
-    """DeepFloyd-IF stage 1: the IF-architecture UNet (added-KV attention,
-    resnet up/downsampling, T5 conditioning through encoder_hid_proj). The
-    published IF-I-M width/depth numbers and the checkpoint converter are
-    pending config access (docs/PARITY.md known gaps); the block zoo and the
-    engine above it are complete."""
-    dtype = jnp.bfloat16 if args.dtype in ("bf16", "fp16") else jnp.float32
-    from loco_edit_tpu.models.ifm import IFUNet, IFUNetConfig
+def _load_if_model(path, dtype, stage2: bool = False):
+    """Build an IFUNet + params from a diffusers checkpoint (geometry inferred
+    from the state_dict shapes — presets never gate loading) or a random-init
+    miniature when no checkpoint is given (enough to exercise the engines)."""
+    from loco_edit_tpu.models.ifm import (
+        IFUNet,
+        convert_if_state_dict,
+        infer_if_config,
+        tiny_if_config,
+    )
 
-    hid = 4096 if args.text_encoder_path else 64
-    cfg = IFUNetConfig(encoder_hid_dim=hid, dtype=dtype)
+    if path and path.endswith((".pt", ".pth", ".bin", ".ckpt")):
+        from loco_edit_tpu.models.adm.convert import load_torch_checkpoint
+
+        sd = load_torch_checkpoint(path)
+        cfg = infer_if_config(sd, dtype=dtype)
+        model = IFUNet(cfg)
+        params = jax.tree.map(jnp.asarray, convert_if_state_dict(sd, cfg))
+        return model, params, cfg
+    cfg = tiny_if_config(stage2=stage2, dtype=dtype)
     model = IFUNet(cfg)
+    x0 = jnp.zeros((1, cfg.sample_size, cfg.sample_size, cfg.in_channels))
     ctx0 = jnp.zeros((1, 77, cfg.encoder_hid_dim))
-    x0 = jnp.zeros((1, 64, 64, 3))
-    if args.checkpoint_path:
-        raise NotImplementedError(
-            "IF checkpoint conversion needs the published UNet config "
-            "(unavailable offline); tracked in docs/PARITY.md")
     params = jax.jit(model.init)(jax.random.key(0), x0, 500.0, ctx0)
-    return {
+    return model, params, cfg
+
+
+def load_if_bundle(args):
+    """DeepFloyd-IF: stage-1 UNet (added-KV attention, resnet up/downsampling,
+    T5 conditioning through encoder_hid_proj, attention-pooled addition
+    embedding) from --checkpoint_path, plus the stage-2 upscaler sampler from
+    --stage2_checkpoint_path (reference loads IF-I-M + IF-II-L,
+    src/utils/utils.py:260-293)."""
+    dtype = jnp.bfloat16 if args.dtype in ("bf16", "fp16") else jnp.float32
+
+    model, params, cfg = _load_if_model(args.checkpoint_path, dtype)
+    prompt_encoder = _prompt_encoder(args, "t5", cfg.encoder_hid_dim)
+    bundle = {
         "unet_apply": lambda x, t, c: model.apply(params, x, t, c),
-        "prompt_encoder": _prompt_encoder(args, "t5", cfg.encoder_hid_dim),
-        "sample_shape": (64, 64, 3),
+        "prompt_encoder": prompt_encoder,
+        "sample_shape": (cfg.sample_size, cfg.sample_size, 3),
+        "superres": None,
     }
+
+    s2_path = getattr(args, "stage2_checkpoint_path", "")
+    if s2_path:
+        from loco_edit_tpu.core.rng import RngStream
+        from loco_edit_tpu.pipelines.superres import SuperResSampler
+
+        m2, p2, cfg2 = _load_if_model(s2_path, dtype, stage2=True)
+        bundle["superres"] = SuperResSampler(
+            lambda x, t, c, aug_t: m2.apply(p2, x, t, c, aug_t),
+            prompt_encoder, out_size=cfg2.sample_size,
+            guidance_scale=args.guidance_scale or 4.0,
+            aug_level=250,  # diffusers IFSuperResolutionPipeline default
+            rng=RngStream.from_seed(args.seed))
+    return bundle

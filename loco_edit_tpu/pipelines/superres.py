@@ -3,9 +3,13 @@
 The reference upscales stage-1 outputs through the diffusers IF-II pipeline
 (superresolution, src/modules/edit.py:1375-1392; stage 3 is disabled there).
 Here stage 2 is a first-class sampler over an IF-architecture UNet whose
-input is [x_t | bilinear-upsampled stage-1 image] (channel concat, the
-standard cascade conditioning), denoised with the same linspace DDIM grid and
-CFG under the 'for' prompt. Returns images in [-1, 1]."""
+input is [x_t | upsampled stage-1 image] (channel concat, the standard
+cascade conditioning), denoised with the same linspace DDIM grid and CFG
+under the 'for' prompt. With `aug_level` set (the real IF-II protocol,
+diffusers IFSuperResolutionPipeline noise_level=250), the conditioning image
+is noise-augmented at that raw timestep and the level is fed to the UNet's
+class (timestep) embedding — `unet_apply(x, t, ctx, aug_t)`. Returns images
+in [-1, 1]."""
 
 from __future__ import annotations
 
@@ -19,22 +23,29 @@ from loco_edit_tpu.editing.cfg import cfg_eps
 
 
 class SuperResSampler:
-    """unet_apply(x_2c, t, ctx) -> (B, H, W, 2*C) learned-sigma output, where
-    x_2c = [noisy target | conditioning image] on channels (an IF-style UNet
-    with in_channels = 2*C). Plug an instance into IFEditPipeline(superres=...)."""
+    """unet_apply(x_2c, t, ctx[, aug_t]) -> (B, H, W, 2*C) learned-sigma
+    output, where x_2c = [noisy target | conditioning image] on channels (an
+    IF-style UNet with in_channels = 2*C). Plug an instance into
+    IFEditPipeline(superres=...)."""
 
     def __init__(self, unet_apply, prompt_encoder, *, out_size: int = 256,
                  channels: int = 3, steps: int = 50, guidance_scale: float = 4.0,
-                 t_max: int = 990, rng: RngStream | None = None):
+                 t_max: int = 990, aug_level: int | None = None,
+                 rng: RngStream | None = None):
         self.out_size = out_size
         self.c = channels
         self.guidance_scale = guidance_scale
         self.prompt_encoder = prompt_encoder
         self.scheduler = LinspaceDDIM(t_max=t_max)
         self.grid = self.scheduler.generation_grid(steps)
+        self.aug_level = aug_level
         self.rng = rng or RngStream.from_seed(0)
         c = channels
-        self.unet_apply = lambda x, t, ctx: unet_apply(x, t, ctx)[..., :c]
+        if aug_level is None:
+            self.unet_apply = lambda x, t, ctx: unet_apply(x, t, ctx)[..., :c]
+        else:
+            self.unet_apply = lambda x, t, ctx: unet_apply(
+                x, t, ctx, float(aug_level))[..., :c]
         self._jit_cache: dict = {}
         self._emb_cache: dict = {}
 
@@ -53,7 +64,16 @@ class SuperResSampler:
         key = (b, prompt)
         if key not in self._jit_cache:
 
-            def run(xT, cond):
+            def run(xT, cond, aug_key):
+                if self.aug_level is not None:
+                    # noise-augment the conditioning image at the aug level
+                    # (diffusers image_noising_scheduler.add_noise)
+                    ab = jnp.asarray(
+                        self.scheduler.schedule.alphas_cumprod[self.aug_level],
+                        cond.dtype)
+                    noise = jax.random.normal(aug_key, cond.shape, cond.dtype)
+                    cond = jnp.sqrt(ab) * cond + jnp.sqrt(1.0 - ab) * noise
+
                 def unet_with_cond(x, t, ctx_in):
                     # cfg_eps stacks the CFG variants on the batch axis; the
                     # conditioning image is replicated to match
@@ -73,4 +93,6 @@ class SuperResSampler:
             low_res, (b, self.out_size, self.out_size, self.c), "bilinear")
         xT = jax.random.normal(self.rng.fork("sr-noise").key,
                                (b, self.out_size, self.out_size, self.c))
-        return jnp.clip(self._jit_cache[key](xT, up), -1.0, 1.0)
+        return jnp.clip(
+            self._jit_cache[key](xT, up, self.rng.fork("sr-aug").key),
+            -1.0, 1.0)
