@@ -29,25 +29,8 @@ from typing import Mapping
 
 import numpy as np
 
+from loco_edit_tpu.models.convert_util import KeyTracker
 from loco_edit_tpu.models.ifm.unet import IFUNetConfig
-
-
-class _Tracker:
-    """Wraps the state_dict and records every key read."""
-
-    def __init__(self, sd: Mapping[str, np.ndarray]):
-        self.sd = sd
-        self.used: set[str] = set()
-
-    def __getitem__(self, k):
-        self.used.add(k)
-        return self.sd[k]
-
-    def __contains__(self, k):
-        return k in self.sd
-
-    def unused(self) -> list[str]:
-        return sorted(set(self.sd.keys()) - self.used)
 
 
 def _lin(sd, name, bias=True):
@@ -151,7 +134,7 @@ def convert_if_state_dict(raw: Mapping[str, np.ndarray], cfg: IFUNetConfig,
                           strict: bool = True) -> dict:
     """diffusers UNet2DConditionModel state_dict -> IFUNet params.
     With strict=True (default) every checkpoint key must be consumed."""
-    sd = _Tracker(raw)
+    sd = KeyTracker(raw)
     p: dict = {
         "time_dense0": _lin(sd, "time_embedding.linear_1"),
         "time_dense1": _lin(sd, "time_embedding.linear_2"),
@@ -198,9 +181,5 @@ def convert_if_state_dict(raw: Mapping[str, np.ndarray], cfg: IFUNetConfig,
             p[f"up_{i}_upsample"] = _res(sd, f"up_blocks.{k}.upsamplers.0")
 
     if strict:
-        leftovers = sd.unused()
-        if leftovers:
-            raise ValueError(
-                f"IF conversion left {len(leftovers)} checkpoint keys "
-                f"unconsumed (geometry mismatch?): {leftovers[:8]}...")
+        sd.check("IF UNet")
     return {"params": p}

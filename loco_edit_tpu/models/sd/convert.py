@@ -13,6 +13,7 @@ from typing import Mapping
 
 import numpy as np
 
+from loco_edit_tpu.models.convert_util import KeyTracker
 from loco_edit_tpu.models.sd.config import SDUNetConfig, VAEConfig
 
 
@@ -79,7 +80,9 @@ def _transformer(sd, base, cfg: SDUNetConfig):
 
 
 def convert_sd_unet_state_dict(sd: Mapping[str, np.ndarray],
-                               cfg: SDUNetConfig) -> dict:
+                               cfg: SDUNetConfig, strict: bool = True) -> dict:
+    """With strict=True (default) every checkpoint key must be consumed."""
+    sd = KeyTracker(sd)
     p: dict = {
         "time_dense0": _lin(sd, "time_embedding.linear_1"),
         "time_dense1": _lin(sd, "time_embedding.linear_2"),
@@ -111,6 +114,8 @@ def convert_sd_unet_state_dict(sd: Mapping[str, np.ndarray],
                     sd, f"up_blocks.{k}.attentions.{j}", cfg)
         if i != 0:
             p[f"up_{i}_upsample"] = _conv(sd, f"up_blocks.{k}.upsamplers.0.conv")
+    if strict:
+        sd.check("SD UNet")
     return {"params": p}
 
 
@@ -131,9 +136,11 @@ def _vae_attn(sd, base):
             "to_k": lin1x1(k), "to_v": lin1x1(v), "to_out_0": lin1x1(o)}
 
 
-def convert_vae_state_dict(sd: Mapping[str, np.ndarray], cfg: VAEConfig
-                           ) -> tuple[dict, dict]:
-    """Returns (encoder_params, decoder_params)."""
+def convert_vae_state_dict(sd: Mapping[str, np.ndarray], cfg: VAEConfig,
+                           strict: bool = True) -> tuple[dict, dict]:
+    """Returns (encoder_params, decoder_params). With strict=True every
+    checkpoint key must be consumed."""
+    sd = KeyTracker(sd)
     n = len(cfg.block_out_channels)
     enc: dict = {
         "conv_in": _conv(sd, "encoder.conv_in"),
@@ -169,4 +176,6 @@ def convert_vae_state_dict(sd: Mapping[str, np.ndarray], cfg: VAEConfig
                 sd, f"decoder.up_blocks.{k}.upsamplers.0.conv")
     # VAE resnets have no time embedding and VAE norms use the same GN names
     # as the UNet resnets, so _res works unchanged (time_emb_proj absent).
+    if strict:
+        sd.check("VAE")
     return {"params": enc}, {"params": dec}

@@ -19,12 +19,22 @@ import numpy as np
 PromptEncoder = Callable[[str], jnp.ndarray]
 
 
+def _from_pretrained_any(cls, model_path: str):
+    """Load flax weights if present, else convert the torch checkpoint in the
+    directory (the common case for user-downloaded diffusers/transformers
+    dirs, which ship pytorch_model.bin / model.safetensors)."""
+    try:
+        return cls.from_pretrained(model_path)
+    except (OSError, EnvironmentError):
+        return cls.from_pretrained(model_path, from_pt=True)
+
+
 def clip_prompt_encoder(model_path: str, max_length: int = 77) -> PromptEncoder:
     """FlaxCLIPTextModel + tokenizer from a local directory."""
     from transformers import CLIPTokenizer, FlaxCLIPTextModel
 
     tok = CLIPTokenizer.from_pretrained(model_path)
-    enc = FlaxCLIPTextModel.from_pretrained(model_path)
+    enc = _from_pretrained_any(FlaxCLIPTextModel, model_path)
 
     def encode(prompt: str) -> jnp.ndarray:
         ids = tok(prompt, padding="max_length", max_length=max_length,
@@ -40,7 +50,7 @@ def t5_prompt_encoder(model_path: str, max_length: int = 77) -> PromptEncoder:
     from transformers import AutoTokenizer, FlaxT5EncoderModel
 
     tok = AutoTokenizer.from_pretrained(model_path)
-    enc = FlaxT5EncoderModel.from_pretrained(model_path)
+    enc = _from_pretrained_any(FlaxT5EncoderModel, model_path)
 
     def encode(prompt: str) -> jnp.ndarray:
         ids = tok(prompt, padding="max_length", max_length=max_length,

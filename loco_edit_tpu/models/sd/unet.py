@@ -109,7 +109,10 @@ class GEGLU(nn.Module):
     def __call__(self, x):
         h = _dense(2 * self.dim_out, self.cfg.dtype, "proj")(x)
         h, gate = jnp.split(h, 2, axis=-1)
-        return h * jax.nn.gelu(gate)
+        # torch F.gelu (diffusers GEGLU) is the exact erf form; jax.nn.gelu
+        # defaults to the tanh approximation, which diverges ~1e-3 on
+        # converted real weights
+        return h * jax.nn.gelu(gate, approximate=False)
 
 
 class BasicTransformerBlock(nn.Module):

@@ -107,8 +107,10 @@ def test_transformer_block_vs_numpy_oracle():
     ff_in = ln(h2, "norm3")
     proj = ff_in @ p["ff_net_0/proj/kernel"] + p["ff_net_0/proj/bias"]
     half, gate = np.split(proj, 2, axis=-1)
-    # jax.nn.gelu default is the tanh approximation
-    g = 0.5 * gate * (1 + np.tanh(np.sqrt(2 / np.pi) * (gate + 0.044715 * gate**3)))
+    # exact-erf gelu (torch F.gelu / diffusers GEGLU convention)
+    from scipy.special import erf
+
+    g = 0.5 * gate * (1 + erf(gate / np.sqrt(2)))
     ff = (half * g) @ p["ff_net_2/kernel"] + p["ff_net_2/bias"]
     expected = h2 + ff
 

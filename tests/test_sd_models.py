@@ -163,10 +163,9 @@ def test_converter_structure_matches_init():
         elif len(shape) == 4:
             put(t, shape, "conv")
         elif len(shape) == 2:
-            has_bias = f"{path[:-len(leaf)]}bias" in [
-                p for p in flat if p.startswith(path[:path.rfind('/')])
-            ]
-            put(t, shape, "lin")
+            # diffusers SD attention q/k/v are bias-free Linears
+            nobias = t.split(".")[-1] in ("to_q", "to_k", "to_v")
+            put(t, shape, "lin_nobias" if nobias else "lin")
         # 1-d biases of conv/linear handled by their weight entries above
 
     params = convert_sd_unet_state_dict(sd, cfg)
