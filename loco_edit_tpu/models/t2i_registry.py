@@ -59,8 +59,13 @@ def _prompt_encoder(args, kind: str, dim: int):
 
 
 def load_sd_bundle(args, lcm: bool = False):
+    import os
+
     dtype = jnp.bfloat16 if args.dtype in ("bf16", "fp16") else jnp.float32
-    preset = "lcm-dreamshaper-v7" if lcm else "sd21-base"
+    # LOCO_SD_PRESET=tiny lets CPU smoke runs exercise the full CLI path
+    # without eagerly initializing a production-width UNet
+    preset = os.environ.get("LOCO_SD_PRESET") or (
+        "lcm-dreamshaper-v7" if lcm else "sd21-base")
     cfg = sd_preset(preset, dtype=dtype)
     model = SDUNet(cfg)
     ctx0 = jnp.zeros((1, 77, cfg.cross_attention_dim))

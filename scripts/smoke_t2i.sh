@@ -1,0 +1,14 @@
+#!/usr/bin/env bash
+# CPU-runnable smoke of the T2I CLI paths (tiny random-init models, fake
+# prompt encoder, no masks): the two nonsemantic scripts with reduced steps.
+set -e
+cd "$(dirname "$0")/.."
+export LOCO_SD_PRESET=tiny
+export JAX_PLATFORMS=cpu
+bash scripts/main_T2I_LCM_null_space_projection_nonsemantic.sh \
+    --use_mask false --null_space_projection false \
+    --x_space_guidance_num_step 4 --pca_rank 1 --pca_rank_null 1 "$@"
+bash scripts/main_T2I_DeepFloydIF_null_space_projection_nonsemantic.sh \
+    --use_mask false --null_space_projection false --for_steps 8 \
+    --x_space_guidance_num_step 4 --pca_rank 1 --pca_rank_null 1 "$@"
+echo "T2I smoke OK"
