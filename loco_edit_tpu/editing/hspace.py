@@ -34,6 +34,34 @@ def h_to_e(eps_fn_with_inject: Callable, x: jnp.ndarray, u_h: jnp.ndarray,
     return pert - base
 
 
+def global_pca_h(h_fn: Callable, xs: jnp.ndarray, *, rank: int,
+                 chunk: int = 0) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Global PCA of bottleneck features over a SAMPLE POPULATION (reference
+    PullBackDDPM.global_pca_xt, ddpm/diffusion.py:438-481: h over a batch of
+    x_t draws, centered torch.pca_lowrank): returns (singular values (rank,),
+    components (rank, d_h)).
+
+    TPU-first: the population axis is small (tens-hundreds) and d_h is large,
+    so the SVD runs via the (N, N) Gram eigendecomposition instead of the
+    reference's CPU-offloaded randomized PCA; h extraction chunks through
+    lax.map to bound memory instead of host buffering (`memory_bound`)."""
+    n = xs.shape[0]
+    if chunk and n % chunk == 0:
+        hs = jax.lax.map(jax.vmap(lambda z: h_fn(z[None]).reshape(-1)),
+                         xs.reshape(n // chunk, chunk, *xs.shape[1:]))
+        hs = hs.reshape(n, -1)
+    else:
+        hs = jax.vmap(lambda z: h_fn(z[None]).reshape(-1))(xs)
+    centered = (hs - jnp.mean(hs, axis=0, keepdims=True)).astype(jnp.float32)
+    gram = centered @ centered.T                      # (N, N) — tiny
+    w, q = jnp.linalg.eigh(gram)
+    w = w[::-1][:rank]
+    comps = q[:, ::-1][:, :rank].T @ centered         # (rank, d_h)
+    comps = comps / jnp.maximum(
+        jnp.linalg.norm(comps, axis=1, keepdims=True), 1e-12)
+    return jnp.sqrt(jnp.maximum(w, 0.0)), comps
+
+
 def local_pca_h(h_fn: Callable, x: jnp.ndarray, key: jax.Array, *,
                 rank: int, eps: float = 1e-2, n_probes: int = 64) -> jnp.ndarray:
     """PCA of bottleneck features under small input perturbations (the

@@ -3,8 +3,8 @@
 Functional equivalent of the reference's vendored OpenAI-baselines logger
 (src/models/guided_diffusion/logger.py): key-value accumulation with mean
 aggregation (logkv/logkv_mean/dumpkvs :212-241), human-readable stdout table
-(:36), JSONL and CSV writers (:98,:113), and wall-time profile scopes
-(@profile / profile_kv :294-323). MPI mean-aggregation is unnecessary under
+(:36), JSONL, CSV, and TensorBoard writers (:98,:113,:150), and wall-time
+profile scopes (@profile / profile_kv :294-323). MPI mean-aggregation is unnecessary under
 SPMD (all hosts compute identical metrics); cross-host reduction, when values
 do differ, happens in-graph via psum before logging. Adds a jax.profiler
 trace helper for TPU timelines.
@@ -34,6 +34,13 @@ class Logger:
         if log_dir:
             os.makedirs(log_dir, exist_ok=True)
         self._csv_keys: list[str] | None = None
+        self._tb = None
+        self._tb_step = 0
+        if log_dir and "tensorboard" in formats:
+            # reference logger.py:150-190 TensorBoardOutputFormat
+            from tensorboardX import SummaryWriter
+
+            self._tb = SummaryWriter(os.path.join(log_dir, "tb"))
 
     # -- kv api (reference logger.py:212-241) ---------------------------------
 
@@ -61,6 +68,12 @@ class Logger:
                 f.write(json.dumps(out) + "\n")
         if self.log_dir and "csv" in self.formats:
             self._write_csv(out)
+        if self._tb is not None:
+            step = int(out.get("step", self._tb_step))
+            for k, v in out.items():
+                self._tb.add_scalar(k, v, step)
+            self._tb.flush()
+            self._tb_step += 1
         return out
 
     def _write_stdout(self, kv: dict[str, float]) -> None:
@@ -80,6 +93,11 @@ class Logger:
                 csv.writer(f).writerow(self._csv_keys)
         with open(path, "a", newline="") as f:
             csv.writer(f).writerow([kv.get(k, "") for k in self._csv_keys])
+
+    def close(self) -> None:
+        if self._tb is not None:
+            self._tb.close()
+            self._tb = None
 
     # -- profiling scopes (reference logger.py:294-323) -----------------------
 

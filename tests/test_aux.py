@@ -90,3 +90,35 @@ def test_eval_cli(tmp_path):
     r = eval_main(["--eval_metric", "mmse", "--folder_preds", str(pdir),
                    "--folder_original", str(tdir)])
     assert r == pytest.approx(0.0, abs=1e-6)
+
+
+def test_logger_tensorboard_writer(tmp_path):
+    """The TensorBoard KV format (reference logger.py:150-190) writes event
+    files that tensorboard can read back."""
+    from loco_edit_tpu.utils.logger import Logger
+
+    lg = Logger(str(tmp_path), formats=("json", "tensorboard"))
+    lg.logkv("loss", 0.5)
+    lg.logkv("step", 3)
+    lg.dumpkvs()
+    lg.logkv("loss", 0.25)
+    lg.logkv("step", 4)
+    lg.dumpkvs()
+    lg.close()
+    import glob
+
+    events = glob.glob(str(tmp_path / "tb" / "events.out.tfevents.*"))
+    assert events, "no event files written"
+    from tensorboard.backend.event_processing.event_file_loader import (
+        EventFileLoader,
+    )
+
+    def scalar(v):
+        if v.HasField("tensor"):  # tensorboardX >= 2.x stores TensorProto
+            return float(v.tensor.float_val[0])
+        return float(v.simple_value)
+
+    vals = [(v.tag, scalar(v), e.step)
+            for e in EventFileLoader(events[0]).Load()
+            for v in getattr(e.summary, "value", [])]
+    assert ("loss", 0.5, 3) in vals and ("loss", 0.25, 4) in vals

@@ -115,3 +115,22 @@ def test_transformer_block_vs_numpy_oracle():
     expected = h2 + ff
 
     np.testing.assert_allclose(got, expected, atol=2e-5)
+
+
+def test_global_pca_matches_exact_svd():
+    """global_pca_h (Gram-trick population PCA) == exact numpy SVD of the
+    centered feature matrix (reference global_pca_xt capability)."""
+    from loco_edit_tpu.editing.hspace import global_pca_h
+
+    rng = np.random.default_rng(0)
+    w = rng.normal(size=(4 * 4 * 3, 7)).astype(np.float32)
+    h_fn = lambda z: jnp.tanh(z.reshape(1, -1) @ jnp.asarray(w))
+    xs = jnp.asarray(rng.normal(size=(12, 4, 4, 3)).astype(np.float32))
+
+    s, comps = global_pca_h(h_fn, xs, rank=3, chunk=4)
+    hs = np.stack([np.tanh(np.asarray(x).reshape(-1) @ w) for x in xs])
+    hc = hs - hs.mean(0, keepdims=True)
+    u_, s_, vt_ = np.linalg.svd(hc, full_matrices=False)
+    np.testing.assert_allclose(np.asarray(s), s_[:3], rtol=1e-4)
+    align = np.abs(np.sum(np.asarray(comps) * vt_[:3], axis=1))
+    np.testing.assert_allclose(align, 1.0, atol=1e-4)
