@@ -71,3 +71,22 @@ def test_cli_end_to_end_tinytest(tmp_path):
     for root, _, files in os.walk(tmp_path):
         pngs += [f for f in files if f.endswith(".png")]
     assert any(f.startswith("edit-") for f in pngs)
+
+
+def test_parity_eval_dry_run(tmp_path):
+    """BASELINE protocol-3 harness (scripts/parity_eval.sh) on the tiny model:
+    one command produces locality metrics end-to-end."""
+    from loco_edit_tpu.cli.parity_eval import main
+
+    recs = main([
+        "--model_name", "TinyTest", "--dataset_name", "Random",
+        "--sample_specs", "0:hair", "--for_steps", "8",
+        "--pca_rank", "1", "--pca_rank_null", "1",
+        "--x_space_guidance_num_step", "4",
+        "--result_folder", str(tmp_path), "--seed", "3",
+    ])
+    assert len(recs) == 1
+    r = recs[0]
+    assert 0.0 <= r["ssim"] <= 1.0
+    assert r["offmask_mse"] >= 0.0 and r["inmask_mse"] >= 0.0
+    assert (tmp_path / "parity_metrics.jsonl").exists()
