@@ -39,6 +39,41 @@ RANK = 5
 ITERS = 10
 IMG = 256
 
+# peak dense bf16 FLOP/s per chip, by device_kind substring
+_PEAK_FLOPS = (
+    ("v6 lite", 918e12), ("v6e", 918e12),
+    ("v5 lite", 197e12), ("v5e", 197e12),
+    ("v5p", 459e12), ("v5", 459e12),
+    ("v4", 275e12),
+)
+
+
+def peak_flops() -> float | None:
+    kind = jax.devices()[0].device_kind.lower()
+    for sub, peak in _PEAK_FLOPS:
+        if sub in kind:
+            return peak
+    return None
+
+
+def program_flops(jitted, *args) -> float | None:
+    """Analytic FLOPs of the compiled program (XLA cost analysis)."""
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca["flops"])
+    except Exception as e:  # noqa: BLE001
+        log("cost_analysis unavailable:", e)
+        return None
+
+
+def mfu(flops: float | None, seconds: float) -> float | None:
+    peak = peak_flops()
+    if flops is None or peak is None or seconds <= 0:
+        return None
+    return flops / seconds / peak
+
 
 def build_model():
     from loco_edit_tpu.models.adm import ADMUNet, adm_preset
@@ -95,6 +130,12 @@ def main():
     ours_sec = min(times)
     log(f"ours: rank-{RANK} x {ITERS} iters = {ours_sec:.3f}s "
         f"(runs: {[f'{t:.3f}' for t in times]})")
+    basis_flops = program_flops(ours_jit, xt)
+    basis_mfu = mfu(basis_flops, ours_sec)
+    if basis_mfu is not None:
+        log(f"basis MFU: {basis_flops / 1e12:.2f} TF / {ours_sec:.3f}s "
+            f"= {basis_flops / ours_sec / 1e12:.1f} TF/s "
+            f"-> {100 * basis_mfu:.1f}% of peak")
 
     # ---- reference-pattern emulation on the same chip ----------------------
     def fmask(z):
@@ -146,15 +187,25 @@ def main():
     t0 = time.perf_counter()
     gen(strip).block_until_ready()
     dt = time.perf_counter() - t0
+    denoise_flops = program_flops(gen, strip)
+    denoise_mfu = mfu(denoise_flops, dt)
     log(f"denoise: 99 steps x batch 9 @256px = {dt:.2f}s "
         f"({99 / dt:.2f} steps/s, {99 * 9 / dt:.1f} img-steps/s)")
+    if denoise_mfu is not None:
+        log(f"denoise MFU: {denoise_flops / 1e12:.2f} TF / {dt:.2f}s "
+            f"-> {100 * denoise_mfu:.1f}% of peak")
 
-    print(json.dumps({
+    out = {
         "metric": f"rank{RANK}_masked_basis_extraction_0.6T_P2_256px_{ITERS}iters",
         "value": round(ours_sec, 4),
         "unit": "s",
         "vs_baseline": round(ref_sec / ours_sec, 3),
-    }), flush=True)
+    }
+    if basis_mfu is not None:
+        out["basis_mfu"] = round(basis_mfu, 4)
+    if denoise_mfu is not None:
+        out["denoise_mfu"] = round(denoise_mfu, 4)
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

@@ -1,12 +1,18 @@
-"""SAM mask extraction (host-side stage).
+"""SAM mask extraction.
 
 The reference runs HF's mask-generation pipeline (facebook/sam-vit-large) on
 the decoded image, saves ALL candidate masks plus per-mask overlay
 visualizations, and exits when --sampling_mode; a follow-up run picks
 --mask_index (src/modules/mask_segmentation.py:11-47, two-phase protocol at
-edit.py:2237-2247). SAM inference stays a host-side torch stage for now (a
-Flax SAM port is planned); it is gated so the rest of the framework works
-without SAM weights.
+edit.py:2237-2247).
+
+Two backends:
+  - `segment_image` — the reference's all-torch host pipeline (fallback).
+  - `segment_image_flax_encoder` — the heavy ViT image encoder runs as the
+    Flax model (masks/sam_flax.py, golden-parity tested) on the accelerator;
+    the lightweight prompt-encoder/mask-decoder stage stays host-side through
+    `SamModel(image_embeddings=...)` over a uniform point grid, with the
+    reference's area filter plus IoU dedup.
 """
 
 from __future__ import annotations
@@ -46,6 +52,86 @@ def segment_image(image_uint8: np.ndarray, model_name: str = "facebook/sam-vit-l
     if not masks:
         raise RuntimeError("SAM produced no masks above the area filter")
     return np.stack(masks)
+
+
+def segment_image_flax_encoder(
+    image_uint8: np.ndarray, sam_model, *, flax_params=None,
+    points_per_side: int = 16, filter_mask: int = 100, resolution: int = 256,
+    iou_threshold: float = 0.88, dedup_iou: float = 0.9,
+    mask_threshold: float = 0.0) -> np.ndarray:
+    """Mask generation with the ViT encoder on the accelerator.
+
+    sam_model: a transformers SamModel (host, eval mode); flax_params: its
+    vision encoder converted via convert_sam_vision_state_dict (built on
+    first call if None). Returns (N, resolution, resolution) boolean masks
+    (area-filtered, IoU-deduped, best-of-3 per grid point by predicted IoU).
+    """
+    import torch
+    from PIL import Image
+
+    import jax.numpy as jnp
+
+    from loco_edit_tpu.masks.sam_flax import (
+        SamViTEncoder,
+        config_from_hf,
+        convert_sam_vision_state_dict,
+    )
+
+    cfg = config_from_hf(sam_model.config.vision_config)
+    if flax_params is None:
+        sd = {k: v.numpy() for k, v in sam_model.vision_encoder.state_dict().items()}
+        flax_params = convert_sam_vision_state_dict(sd, cfg)
+
+    size = cfg.image_size
+    pil = Image.fromarray(image_uint8).resize((size, size))
+    x = np.asarray(pil, np.float32)
+    # SAM pixel normalization (SamImageProcessor defaults)
+    mean = np.array([123.675, 116.28, 103.53], np.float32)
+    std = np.array([58.395, 57.12, 57.375], np.float32)
+    x = (x - mean) / std
+
+    emb = SamViTEncoder(cfg).apply(flax_params, jnp.asarray(x[None]))
+    emb_t = torch.from_numpy(
+        np.ascontiguousarray(np.asarray(emb, np.float32).transpose(0, 3, 1, 2)))
+
+    # uniform point grid in pixel coords of the resized image
+    g = (np.arange(points_per_side) + 0.5) * (size / points_per_side)
+    pts = np.stack(np.meshgrid(g, g), -1).reshape(-1, 2)  # (P, 2) xy
+    points = torch.from_numpy(pts.astype(np.float32)).reshape(1, -1, 1, 2)
+    labels = torch.ones(points.shape[:3], dtype=torch.int32)
+
+    with torch.no_grad():
+        out = sam_model(image_embeddings=emb_t, input_points=points,
+                        input_labels=labels, multimask_output=True)
+    low = out.pred_masks[0]                    # (P, 3, h, w) logits
+    iou = out.iou_scores[0]                    # (P, 3)
+    best = iou.argmax(-1)
+    low = low[torch.arange(low.shape[0]), best]
+    iou = iou[torch.arange(iou.shape[0]), best]
+    keep = iou >= iou_threshold
+    if not bool(keep.any()):
+        keep = iou >= iou.max() - 1e-6          # keep at least the best point
+    masks_t = torch.nn.functional.interpolate(
+        low[keep][:, None].float(), size=(resolution, resolution),
+        mode="bilinear")[:, 0] > mask_threshold
+    cand = masks_t.numpy()
+
+    out_masks: list[np.ndarray] = []
+    for m in cand:
+        if m.sum() <= filter_mask:
+            continue
+        dup = False
+        for prev in out_masks:
+            inter = np.logical_and(m, prev).sum()
+            union = np.logical_or(m, prev).sum()
+            if union and inter / union > dedup_iou:
+                dup = True
+                break
+        if not dup:
+            out_masks.append(m)
+    if not out_masks:
+        raise RuntimeError("SAM produced no masks above the area filter")
+    return np.stack(out_masks)
 
 
 def extract_and_cache_masks(args, x0: np.ndarray, mask_path: str) -> np.ndarray:

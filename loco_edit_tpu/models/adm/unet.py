@@ -209,8 +209,13 @@ class ADMUNet(nn.Module):
             self.label_emb = nn.Embed(self.cfg.num_classes, self.cfg.time_embed_dim,
                                       param_dtype=jnp.float32, name="label_emb")
         self.out_norm = GroupNorm32(self.layout.out_ch_final, name="out_norm")
+        # the output head follows the compute dtype: in bf16 mode an f32 head
+        # forces f32 im2col/relayout buffers around the final 256px conv in
+        # BOTH the forward and the linearized tangent/cotangent passes
+        # (profiled at ~5-7% of a basis extraction); output is cast to the
+        # input dtype after the conv. f32 presets are bit-unchanged.
         self.out_conv = _conv(self.cfg.out_channels, zero_init=True,
-                              dtype=jnp.float32, name="out_conv")
+                              dtype=self.cfg.dtype, name="out_conv")
 
     def __call__(self, x, t, y=None, *, train: bool = False,
                  return_sigma: bool = False, return_h: bool = False,
@@ -250,8 +255,7 @@ class ADMUNet(nn.Module):
             h = jnp.concatenate([h, skips.pop()], axis=-1)
             h = block(m, h, emb, train=train)
 
-        h = h.astype(x.dtype)
-        h = self.out_conv(jax.nn.silu(self.out_norm(h)))
+        h = self.out_conv(jax.nn.silu(self.out_norm(h))).astype(x.dtype)
 
         if cfg.learn_sigma:
             eps, logvar = jnp.split(h, 2, axis=-1)

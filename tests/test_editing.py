@@ -168,3 +168,22 @@ def test_normalize_rows_zero_row_no_nan():
     out = normalize_rows(vt)
     assert np.all(np.isfinite(np.asarray(out)))
     np.testing.assert_allclose(np.linalg.norm(np.asarray(out)[1]), 1.0, rtol=1e-5)
+
+
+def test_probe_padding_preserves_top_subspace():
+    """pad_probes (TPU sublane-tile rounding, rank 5 -> 8) must return the
+    same gapped top singular directions as the exact ragged iteration."""
+    m, _, vt_true = _linear_map_with_gaps(jax.random.key(30))
+    f = lambda x: (m @ x.reshape(-1)).reshape(SHAPE)
+    x = jnp.zeros(SHAPE)
+    kw = dict(min_iter=5, max_iter=40, tol=1e-7)
+    b_pad = subspace_iteration(f, x, jax.random.key(31), rank=5,
+                               pad_probes=True, **kw)
+    b_raw = subspace_iteration(f, x, jax.random.key(31), rank=5,
+                               pad_probes=False, **kw)
+    assert b_pad.vT.shape == (5, D) and b_pad.s.shape == (5,)
+    align_true = np.abs(np.sum(
+        np.asarray(b_pad.vT) * np.asarray(vt_true)[:, :5].T, axis=1))
+    np.testing.assert_allclose(align_true, 1.0, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(b_pad.s), np.asarray(b_raw.s),
+                               rtol=1e-3)
