@@ -126,6 +126,9 @@ def main(argv=None):
 
     if args.run_ddim_inversion:
         x0, _, _ = get_sample_and_mask(args, pipe, denoiser, rng)
+        if x0 is None:
+            raise SystemExit("--run_ddim_inversion needs a real image; "
+                             "--dataset_name Random has none")
         xT = pipe.invert(x0)
         from loco_edit_tpu.utils.io import save_image_grid
 
@@ -189,6 +192,7 @@ def _main_t2i(args):
             pca_rank_null=args.pca_rank_null,
             null_space_projection=args.null_space_projection,
             non_semantic=args.non_semantic, use_sega=args.use_sega,
+            memory_bound=args.memory_bound,
             result_folder=args.result_folder)
         pipe = LCMEditPipeline(b["unet_apply"], b["decode"],
                                b["prompt_encoder"], cfg, rng,
@@ -223,6 +227,7 @@ def _main_t2i(args):
             use_sega=args.use_sega,
             tilda_v_score_type=args.tilda_v_score_type
             or "null+(for-null)+(edit-null)",
+            memory_bound=args.memory_bound,
             result_folder=args.result_folder)
         pipe = SDEditPipeline(b["unet_apply"], b["decode"], b["encode"],
                               b["prompt_encoder"], cfg, rng,

@@ -59,6 +59,7 @@ class IFEditConfig:
     max_iter: int = 50
     convergence_threshold: float = 1e-3
     probe_chunk: int | None = None
+    memory_bound: int = 0        # chunk strip denoise batches (0 = off)
     result_folder: str = "./runs"
     save_images: bool = True
 
@@ -288,8 +289,12 @@ class IFEditPipeline:
             jnp.asarray(xt), vT[0], scale=cfg.x_space_guidance_scale,
             edit_step=cfg.x_space_guidance_edit_step,
             num_steps=cfg.x_space_guidance_num_step, vis_num=cfg.vis_num)
-        x0 = self.forward_steps(strip, prompts, "null+(for-null)",
-                                self.edit_t_idx, None)
+        from loco_edit_tpu.utils.chunk import map_chunked
+
+        x0 = map_chunked(
+            lambda ss: self.forward_steps(ss, prompts, "null+(for-null)",
+                                          self.edit_t_idx, None),
+            strip, cfg.memory_bound)
         img = np.asarray(x0)
         if cfg.save_images:
             save_image_grid(img, os.path.join(out_dir, "edit-if-stage1.png"))

@@ -49,6 +49,7 @@ class LCMEditConfig:
     convergence_threshold: float = 1e-3
     probe_chunk: int | None = None
     scaling_factor: float = 0.18215
+    memory_bound: int = 0        # chunk strip denoise batches (0 = off)
     result_folder: str = "./runs"
     save_images: bool = True
     use_sega: bool = False
@@ -204,7 +205,11 @@ class LCMEditPipeline:
             jnp.asarray(zt), vT[0], scale=cfg.x_space_guidance_scale,
             edit_step=cfg.x_space_guidance_edit_step,
             num_steps=cfg.x_space_guidance_num_step, vis_num=cfg.vis_num)
-        _, den = self.forward_steps(strip, for_prompt, cfg.edit_t_idx, None)
+        from loco_edit_tpu.utils.chunk import map_chunked
+
+        den = map_chunked(
+            lambda ss: self.forward_steps(ss, for_prompt, cfg.edit_t_idx, None)[1],
+            strip, cfg.memory_bound)
         img = self.decode_to_image(den)
         if cfg.save_images:
             save_image_grid(img, os.path.join(

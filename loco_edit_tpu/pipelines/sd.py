@@ -55,6 +55,7 @@ class SDEditConfig:
     probe_chunk: int | None = None
     scaling_factor: float = 0.18215
     t_max: int = 999
+    memory_bound: int = 0        # chunk strip denoise batches (0 = off)
     result_folder: str = "./runs"
     save_images: bool = True
     tilda_v_score_type: str = "null+(for-null)+(edit-null)"
@@ -261,8 +262,12 @@ class SDEditPipeline:
                 jnp.asarray(zt), vT[pc], scale=cfg.x_space_guidance_scale,
                 edit_step=cfg.x_space_guidance_edit_step,
                 num_steps=cfg.x_space_guidance_num_step, vis_num=cfg.vis_num)
-            z0 = self.generate(strip, prompts, "null+(for-null)",
-                               self.edit_t_idx, None)
+            from loco_edit_tpu.utils.chunk import map_chunked
+
+            z0 = map_chunked(
+                lambda ss: self.generate(ss, prompts, "null+(for-null)",
+                                         self.edit_t_idx, None),
+                strip, cfg.memory_bound)
             img = self.decode_to_image(z0)
             strips[pc] = img
             if cfg.save_images:

@@ -124,21 +124,11 @@ class UncondEditPipeline:
         rank-5 x 16-step walk strip at 256px is a 9-45 image batch). The last
         chunk is zero-padded to the chunk size so every chunk reuses one
         compiled program, then sliced back."""
-        mb = self.cfg.memory_bound
-        b = xt.shape[0]
-        if mb <= 0 or b <= mb:
-            return self.generate(xt, start_idx, end_idx, boost)
-        xt = jnp.asarray(xt)
-        outs = []
-        for lo in range(0, b, mb):
-            chunk = xt[lo:lo + mb]
-            pad = mb - chunk.shape[0]
-            if pad:
-                chunk = jnp.concatenate(
-                    [chunk, jnp.zeros((pad,) + xt.shape[1:], xt.dtype)], axis=0)
-            out = self.generate(chunk, start_idx, end_idx, boost)
-            outs.append(np.asarray(out[:mb - pad] if pad else out))
-        return jnp.concatenate([jnp.asarray(o) for o in outs], axis=0)
+        from loco_edit_tpu.utils.chunk import map_chunked
+
+        return map_chunked(
+            lambda c: self.generate(c, start_idx, end_idx, boost),
+            jnp.asarray(xt), self.cfg.memory_bound)
 
     def pullback_fn(self, mask: np.ndarray | None):
         t = float(self.gen_grid.t[self.edit_t_idx])
