@@ -130,10 +130,39 @@ def main():
     ours_sec = min(times)
     log(f"ours: rank-{RANK} x {ITERS} iters = {ours_sec:.3f}s "
         f"(runs: {[f'{t:.3f}' for t in times]})")
-    basis_flops = program_flops(ours_jit, xt)
+
+    # Analytic FLOPs from LOOP-FREE compiled programs (XLA cost_analysis
+    # counts a while/scan body once, so the looped programs undercount):
+    # basis = primal linearization + ITERS x (tangent+cotangent sweep).
+    from loco_edit_tpu.editing.pullback import init_probes as _init_probes
+
+    def fmask_w(z):
+        y = f(z)
+        return y * mask.astype(y.dtype)
+
+    d_in = xt.size
+    r_eff = 8  # padded probe batch (pullback pads rank 5 -> 8 on TPU)
+
+    def primal_only(z):
+        y, _ = jax.linearize(fmask_w, z)
+        return y
+
+    def primal_and_sweep(z, v):
+        _, jl = jax.linearize(fmask_w, z)
+        vjp = jax.linear_transpose(jl, z)
+        u = jax.vmap(lambda vi: jl(vi.reshape(z.shape).astype(z.dtype)))(v)
+        vp = jax.vmap(lambda ui: vjp(ui)[0].reshape(-1).astype(jnp.float32))(u)
+        return vp
+
+    v_probe = _init_probes(jax.random.fold_in(key, 9), r_eff, d_in)
+    fp = program_flops(jax.jit(primal_only), xt)
+    fps = program_flops(jax.jit(primal_and_sweep), xt, v_probe)
+    basis_flops = None
+    if fp is not None and fps is not None:
+        basis_flops = fp + ITERS * (fps - fp)
     basis_mfu = mfu(basis_flops, ours_sec)
     if basis_mfu is not None:
-        log(f"basis MFU: {basis_flops / 1e12:.2f} TF / {ours_sec:.3f}s "
+        log(f"basis MFU: {basis_flops / 1e12:.2f} TF analytic / {ours_sec:.3f}s "
             f"= {basis_flops / ours_sec / 1e12:.1f} TF/s "
             f"-> {100 * basis_mfu:.1f}% of peak")
 
@@ -141,8 +170,6 @@ def main():
     def fmask(z):
         y = f(z)
         return y * mask.astype(y.dtype)
-
-    d_in = xt.size
 
     jvp_batch = jax.jit(lambda z, v: jax.vmap(
         lambda vi: jax.jvp(fmask, (z,), (vi.reshape(z.shape).astype(z.dtype),))[1])(v))
@@ -181,13 +208,16 @@ def main():
     # ---- secondary: denoise throughput (stderr only) -----------------------
     from loco_edit_tpu.diffusion import ddim_generate
 
-    strip = jnp.zeros((9, IMG, IMG, 3), jnp.float32)
+    strip = jax.random.normal(jax.random.fold_in(key, 7),
+                              (9, IMG, IMG, 3), jnp.float32)
     gen = jax.jit(lambda z: ddim_generate(eps_fn, z, grid))
     gen(strip).block_until_ready()
     t0 = time.perf_counter()
     gen(strip).block_until_ready()
     dt = time.perf_counter() - t0
-    denoise_flops = program_flops(gen, strip)
+    # per-step FLOPs from the loop-free single forward, x 99 steps
+    step_flops = program_flops(jax.jit(lambda z: eps_fn(z, 500.0)), strip)
+    denoise_flops = None if step_flops is None else 99 * step_flops
     denoise_mfu = mfu(denoise_flops, dt)
     log(f"denoise: 99 steps x batch 9 @256px = {dt:.2f}s "
         f"({99 / dt:.2f} steps/s, {99 * 9 / dt:.1f} img-steps/s)")
