@@ -138,10 +138,17 @@ def convert_adm_state_dict(sd: Mapping[str, np.ndarray], cfg: ADMConfig,
 
 
 def load_torch_checkpoint(path: str) -> dict[str, np.ndarray]:
-    """Read a .pt state_dict into numpy (torch needed only here)."""
+    """Read a .pt/.bin/.ckpt (torch pickle) or .safetensors state_dict into
+    numpy (torch needed only here; safetensors goes through the torch backend
+    so bf16/fp16 tensors upcast correctly)."""
     import torch
 
-    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if path.endswith(".safetensors"):
+        from safetensors.torch import load_file
+
+        sd = load_file(path)
+    else:
+        sd = torch.load(path, map_location="cpu", weights_only=True)
     if isinstance(sd, dict) and "state_dict" in sd:
         sd = sd["state_dict"]
     return {k: v.float().numpy() for k, v in sd.items()}

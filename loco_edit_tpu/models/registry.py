@@ -49,7 +49,7 @@ def load_adm_denoiser(model_name: str, checkpoint_path: str = "",
 
 
 def _load_params(path: str, cfg):
-    if path.endswith((".pt", ".pth", ".ckpt")):
+    if path.endswith((".pt", ".pth", ".ckpt", ".safetensors")):
         from loco_edit_tpu.models.adm.convert import (
             convert_adm_state_dict,
             load_torch_checkpoint,

@@ -21,7 +21,7 @@ from loco_edit_tpu.models.sd.vae import encode_sample
 
 
 def _load_unet_params(model, path, example_args):
-    if path and path.endswith((".pt", ".pth", ".bin", ".ckpt")):
+    if path and path.endswith((".pt", ".pth", ".bin", ".ckpt", ".safetensors")):
         from loco_edit_tpu.models.adm.convert import load_torch_checkpoint
         from loco_edit_tpu.models.sd.convert import convert_sd_unet_state_dict
 
@@ -36,7 +36,7 @@ def _load_vae(vae_cfg: VAEConfig, path):
     dec = VAEDecoder(vae_cfg)
     s = vae_cfg.sample_size
     lat = s // (2 ** (len(vae_cfg.block_out_channels) - 1))
-    if path and path.endswith((".pt", ".pth", ".bin", ".ckpt")):
+    if path and path.endswith((".pt", ".pth", ".bin", ".ckpt", ".safetensors")):
         from loco_edit_tpu.models.adm.convert import load_torch_checkpoint
         from loco_edit_tpu.models.sd.convert import convert_vae_state_dict
 
@@ -100,7 +100,7 @@ def _load_if_model(path, dtype, stage2: bool = False):
         tiny_if_config,
     )
 
-    if path and path.endswith((".pt", ".pth", ".bin", ".ckpt")):
+    if path and path.endswith((".pt", ".pth", ".bin", ".ckpt", ".safetensors")):
         from loco_edit_tpu.models.adm.convert import load_torch_checkpoint
 
         sd = load_torch_checkpoint(path)

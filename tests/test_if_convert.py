@@ -274,3 +274,20 @@ def test_load_if_bundle_from_torch_checkpoint(tmp_path):
     low = np.random.default_rng(0).normal(size=(1, 8, 8, 3)).astype(np.float32) * 0.2
     up = sr(low, "a dog")
     assert up.shape == (1, 16, 16, 3) and bool(jnp.all(jnp.isfinite(up)))
+
+
+def test_load_checkpoint_safetensors(tmp_path):
+    """diffusers checkpoints commonly ship .safetensors (incl. bf16/fp16);
+    the loader must read them through the torch backend and upcast."""
+    torch = pytest.importorskip("torch")
+    from safetensors.torch import save_file
+
+    from loco_edit_tpu.models.adm.convert import load_torch_checkpoint
+
+    path = str(tmp_path / "w.safetensors")
+    save_file({"a.weight": torch.ones(2, 3, dtype=torch.bfloat16),
+               "b.bias": torch.full((4,), 2.0)}, path)
+    sd = load_torch_checkpoint(path)
+    assert sd["a.weight"].dtype == np.float32
+    np.testing.assert_allclose(sd["a.weight"], 1.0)
+    np.testing.assert_allclose(sd["b.bias"], 2.0)
