@@ -18,10 +18,16 @@ sys.path.insert(0, "/root/reference/src/models")
 
 # the reference imports torchvision only for debug image dumps we never call;
 # stub it so the oracle loads in this torchvision-free env
+import importlib.machinery  # noqa: E402
 import types  # noqa: E402
 
 for _name in ("torchvision", "torchvision.utils"):
-    sys.modules.setdefault(_name, types.ModuleType(_name))
+    if _name not in sys.modules:
+        _m = types.ModuleType(_name)
+        # a real ModuleSpec so importlib.util.find_spec on the stub does not
+        # blow up in later tests (transformers probes torchvision this way)
+        _m.__spec__ = importlib.machinery.ModuleSpec(_name, loader=None)
+        sys.modules[_name] = _m
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402

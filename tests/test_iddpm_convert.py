@@ -17,6 +17,11 @@ for _name in ("torchvision", "torchvision.utils", "skimage", "matplotlib",
               "matplotlib.pyplot", "tqdm"):
     if _name not in sys.modules:
         mod = types.ModuleType(_name)
+        import importlib.machinery
+
+        # real ModuleSpec so later importlib.util.find_spec calls (e.g.
+        # transformers probing torchvision) do not fail on the stub
+        mod.__spec__ = importlib.machinery.ModuleSpec(_name, loader=None)
         if _name == "tqdm":
             mod.tqdm = lambda x, **kw: x
         sys.modules[_name] = mod
