@@ -197,6 +197,17 @@ def _main_t2i(args):
         pipe = LCMEditPipeline(b["unet_apply"], b["decode"],
                                b["prompt_encoder"], cfg, rng,
                                latent_shape=b["latent_shape"])
+        if args.run_ddim_forward:
+            # reference run_LCMforward (edit.py:102-145): sample a batch for a
+            # model-load sanity check
+            zT = np.asarray(jax.random.normal(
+                rng.fork("fwd").key, (5,) + b["latent_shape"]))
+            img = pipe.decode_to_image(
+                pipe.forward_steps(zT, args.for_prompt)[1])
+            from loco_edit_tpu.utils.io import save_image_grid
+
+            save_image_grid(img, os.path.join(args.result_folder,
+                                              "LCMforward.png"))
         if args.run_edit_null_space_projection_zt:
             mask = None
             if args.use_mask:
@@ -232,6 +243,17 @@ def _main_t2i(args):
         pipe = SDEditPipeline(b["unet_apply"], b["decode"], b["encode"],
                               b["prompt_encoder"], cfg, rng,
                               latent_shape=b["latent_shape"])
+        if args.run_ddim_forward:
+            # reference EditStableDiffusion.run_DDIMforward (edit.py:556-566)
+            zT = np.asarray(jax.random.normal(
+                rng.fork("fwd").key, (5,) + b["latent_shape"]))
+            img = pipe.decode_to_image(pipe.generate(
+                zT, pipe.prompt_set(args.for_prompt, args.edit_prompt),
+                "null+(for-null)"))
+            from loco_edit_tpu.utils.io import save_image_grid
+
+            save_image_grid(img, os.path.join(args.result_folder,
+                                              "DDIMforward.png"))
         semantic = args.run_edit_null_space_projection_zt_semantic
         if args.run_edit_null_space_projection_zt or semantic:
             mask = None
@@ -266,6 +288,16 @@ def _main_t2i(args):
     pipe = IFEditPipeline(b["unet_apply"], b["prompt_encoder"], cfg, rng,
                           sample_shape=b["sample_shape"],
                           superres=b.get("superres"))
+    if args.run_ddim_forward:
+        # reference EditDeepFloydIF DDPMforwardsteps debug sample (edit.py:1409)
+        xT = np.asarray(jax.random.normal(
+            rng.fork("fwd").key, (5,) + b["sample_shape"]))
+        img = np.asarray(pipe.forward_steps(
+            xT, pipe.prompt_set(args.for_prompt, args.edit_prompt),
+            "null+(for-null)"))
+        from loco_edit_tpu.utils.io import save_image_grid
+
+        save_image_grid(img, os.path.join(args.result_folder, "IFforward.png"))
     semantic = args.run_edit_null_space_projection_xt_semantic
     if args.run_edit_null_space_projection_xt or semantic:
         mask = None

@@ -85,6 +85,11 @@ def run_training(apply_fn, params, data_iter, *, cfg: TrainConfig,
                     sampler_state, t, metrics["per_timestep_losses"])
             logger.logkv_mean("loss", float(metrics["loss"]))
             logger.logkv_mean("grad_norm", float(metrics["grad_norm"]))
+            # per-timestep-quartile losses (reference log_loss_dict,
+            # train_util.py:296-301: loss_q0..loss_q3)
+            per = np.asarray(metrics["per_timestep_losses"])
+            for ti, li in zip(np.asarray(t).reshape(-1), per.reshape(-1)):
+                logger.logkv_mean(f"loss_q{int(4 * ti / n_t)}", float(li))
             s = int(state.step)
             if s % log_interval == 0:
                 logger.logkv("step", s)

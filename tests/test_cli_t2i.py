@@ -77,3 +77,22 @@ def test_cli_sd_dispatch(tmp_path, monkeypatch):
     pngs = [f for root, _, fs in os.walk(tmp_path) for f in fs
             if f.endswith(".png")]
     assert pngs, "SD CLI produced no images"
+
+
+def test_t2i_run_ddim_forward(tmp_path, monkeypatch):
+    """--run_ddim_forward on a T2I engine (reference main.py:98-99 dispatches
+    it per engine as a model-load sanity check)."""
+    import os
+
+    monkeypatch.setenv("LOCO_SD_PRESET", "tiny")
+    from loco_edit_tpu.cli.main import main
+
+    main(["--model_name", "LCM_Dreamshaper_v7", "--dataset_name", "Random",
+          "--run_ddim_forward", "true", "--num_inference_steps", "2",
+          "--for_prompt", "a cat", "--use_mask", "false",
+          "--use_yh_custom_scheduler", "false",
+          "--result_folder", str(tmp_path), "--seed", "5"])
+    found = []
+    for root, _, files in os.walk(tmp_path):
+        found += [f for f in files if f == "LCMforward.png"]
+    assert found
