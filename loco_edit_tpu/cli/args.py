@@ -94,6 +94,9 @@ def parse_args(argv=None):
     add("--probe_chunk", type=int, default=0, help="0 = all probes batched")
     add("--mesh_probe", type=int, default=0,
         help="shard probes over this many devices (0 = single device)")
+    add("--mesh_sp", type=int, default=0,
+        help="shard the image height over this many devices (spatial "
+             "parallelism for batch-1 inversion/pullback; 0 = off)")
 
     # experiments
     add("--run_ddim_forward", type=str2bool, default=False)

@@ -27,6 +27,14 @@ def build_uncond_pipeline(args):
 
     rng = seed_everything(args.seed)
     denoiser = load_denoiser(args)
+    if args.mesh_sp > 1:
+        import dataclasses
+
+        from loco_edit_tpu.parallel.sp import make_sp_mesh, sp_denoiser
+
+        denoiser = dataclasses.replace(
+            denoiser, eps_fn=sp_denoiser(denoiser.eps_fn,
+                                         make_sp_mesh(args.mesh_sp)))
     cfg = UncondEditConfig(
         for_steps=args.for_steps,
         inv_steps=args.inv_steps,

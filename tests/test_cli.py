@@ -90,3 +90,22 @@ def test_parity_eval_dry_run(tmp_path):
     assert 0.0 <= r["ssim"] <= 1.0
     assert r["offmask_mse"] >= 0.0 and r["inmask_mse"] >= 0.0
     assert (tmp_path / "parity_metrics.jsonl").exists()
+
+
+def test_cli_mesh_sp_smoke(tmp_path):
+    """--mesh_sp shards the image height over the virtual mesh through the
+    full CLI edit path."""
+    from loco_edit_tpu.cli.main import main
+
+    main(["--model_name", "TinyTest", "--dataset_name", "Random",
+          "--for_steps", "8", "--inv_steps", "8", "--edit_t", "0.6",
+          "--performance_boosting_t", "0.2", "--x_space_guidance_scale", "0.5",
+          "--x_space_guidance_num_step", "2", "--pca_rank", "1",
+          "--pca_rank_null", "1", "--vis_num", "1", "--mesh_sp", "8",
+          "--null_space_projection", "false", "--use_mask", "false",
+          "--run_edit_null_space_projection", "true",
+          "--result_folder", str(tmp_path), "--seed", "3"])
+    import os
+
+    pngs = [f for _, _, fs in os.walk(tmp_path) for f in fs if f.endswith(".png")]
+    assert any(f.startswith("edit-") for f in pngs)
