@@ -100,7 +100,12 @@ class LCMEditPipeline:
         key = ("fwd", z.shape[0], prompt, start_idx, end_idx)
         fn = self._jit(key, lambda: jax.jit(
             lambda zz, k: lcm_scan(f, zz, self.grid, k, start_idx, end_idx)))
-        return fn(jnp.asarray(z), self.rng.fork("lcm-noise").key)
+        # fresh inter-step noise per call: repeated/chunked forward passes
+        # must not share the stochastic consistency-sampler stream
+        self._noise_calls = getattr(self, "_noise_calls", 0) + 1
+        nk = jax.random.fold_in(self.rng.fork("lcm-noise").key,
+                                self._noise_calls - 1)
+        return fn(jnp.asarray(z), nk)
 
     def decode_to_image(self, den) -> np.ndarray:
         fn = self._jit(("dec", den.shape[0]), lambda: jax.jit(

@@ -48,6 +48,7 @@ class SuperResSampler:
                 x, t, ctx, float(aug_level))[..., :c]
         self._jit_cache: dict = {}
         self._emb_cache: dict = {}
+        self._calls = 0   # per-call noise streams (fresh xT/aug noise per call)
 
     def _emb(self, prompt: str):
         if prompt not in self._emb_cache:
@@ -91,8 +92,9 @@ class SuperResSampler:
 
         up = jax.image.resize(
             low_res, (b, self.out_size, self.out_size, self.c), "bilinear")
-        xT = jax.random.normal(self.rng.fork("sr-noise").key,
-                               (b, self.out_size, self.out_size, self.c))
-        return jnp.clip(
-            self._jit_cache[key](xT, up, self.rng.fork("sr-aug").key),
-            -1.0, 1.0)
+        # fresh streams per call (repeated upscales must not share noise)
+        nk = jax.random.fold_in(self.rng.fork("sr-noise").key, self._calls)
+        ak = jax.random.fold_in(self.rng.fork("sr-aug").key, self._calls)
+        self._calls += 1
+        xT = jax.random.normal(nk, (b, self.out_size, self.out_size, self.c))
+        return jnp.clip(self._jit_cache[key](xT, up, ak), -1.0, 1.0)

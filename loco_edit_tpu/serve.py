@@ -1,0 +1,160 @@
+"""Warm-pipeline edit server.
+
+The editing workflow's cost profile is cold-start dominated: the first
+flagship edit pays ~minutes of XLA compilation + executable loads, while a
+warm pipeline serves the same edit in ~5.4 s on one v5e chip (BENCH.md). This
+module keeps ONE warm `UncondEditPipeline` (jit caches + basis disk cache)
+behind a minimal HTTP API, so interactive editing front-ends get steady-state
+latency. Requests serialize through a lock (one chip, one compute stream);
+scale-out is one process per chip behind any HTTP balancer.
+
+  POST /edit    {"seed": int | "image": <b64 f32 NHWC bytes>,
+                 "mask_bbox": [y0, y1, x0, x1] | null,
+                 "pca_rank": int?, "sample_name": str?}
+             -> {"strips": {pc: <b64 f32 bytes>}, "shape": [...], "secs": float}
+  POST /invert  {"image": <b64>} -> {"xT": <b64>, "shape": [...]}
+  GET  /health  -> {"ok": true, "edits_served": n}
+
+Run: python -m loco_edit_tpu.serve --model_name FFHQ_P2 \
+         --checkpoint_path ffhq_p2.pt --port 8787 [+ any cli.args flags]
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+
+def _b64(a: np.ndarray) -> str:
+    return base64.b64encode(np.ascontiguousarray(a, np.float32).tobytes()).decode()
+
+
+def _unb64(s: str, shape) -> np.ndarray:
+    return np.frombuffer(base64.b64decode(s), np.float32).reshape(shape).copy()
+
+
+class EditService:
+    """The warm pipeline + request logic (transport-agnostic, used directly
+    in tests and wrapped by the HTTP handler below)."""
+
+    def __init__(self, args):
+        from loco_edit_tpu.cli.main import build_uncond_pipeline
+
+        self.pipe, self.denoiser, self.rng = build_uncond_pipeline(args)
+        self.lock = threading.Lock()
+        self.edits_served = 0
+
+    def _resolve_input(self, req: dict):
+        import jax
+
+        h, w, c = self.denoiser.sample_shape
+        if "image" in req and req["image"]:
+            x0 = _unb64(req["image"], (1, h, w, c))
+            return x0, None
+        seed = int(req.get("seed", 0))
+        xT = np.asarray(jax.random.normal(
+            jax.random.key(seed), (1, h, w, c), "float32"))
+        return None, xT
+
+    def edit(self, req: dict) -> dict:
+        h, w, c = self.denoiser.sample_shape
+        mask = None
+        if req.get("mask_bbox"):
+            y0, y1, x0_, x1 = req["mask_bbox"]
+            mask = np.zeros((1, h, w, c), bool)
+            mask[:, y0:y1, x0_:x1, :] = True
+        x0, xT = self._resolve_input(req)
+        with self.lock:
+            t0 = time.perf_counter()
+            if mask is None:
+                # null-space projection needs a mask; fall back to the
+                # unprojected basis for maskless requests
+                old = self.pipe.cfg.null_space_projection
+                self.pipe.cfg.null_space_projection = False
+                try:
+                    out = self.pipe.run_edit_null_space_projection(
+                        x0=x0, xT=xT, mask=None,
+                        sample_name=req.get("sample_name", "serve"))
+                finally:
+                    self.pipe.cfg.null_space_projection = old
+            else:
+                out = self.pipe.run_edit_null_space_projection(
+                    x0=x0, xT=xT, mask=mask,
+                    sample_name=req.get("sample_name", "serve"))
+            secs = time.perf_counter() - t0
+            self.edits_served += 1
+        strips = {str(pc): _b64(s) for pc, s in out["strips"].items()}
+        shape = list(next(iter(out["strips"].values())).shape)
+        return {"strips": strips, "shape": shape, "secs": round(secs, 3)}
+
+    def invert(self, req: dict) -> dict:
+        h, w, c = self.denoiser.sample_shape
+        x0 = _unb64(req["image"], (1, h, w, c))
+        with self.lock:
+            xT = np.asarray(self.pipe.invert(x0))
+        return {"xT": _b64(xT), "shape": list(xT.shape)}
+
+    def health(self) -> dict:
+        return {"ok": True, "edits_served": self.edits_served}
+
+
+def make_server(service: EditService, port: int = 8787) -> ThreadingHTTPServer:
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/health":
+                return self._send(200, service.health())
+            return self._send(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            try:
+                req = json.loads(self.rfile.read(n) or b"{}")
+                if self.path == "/edit":
+                    return self._send(200, service.edit(req))
+                if self.path == "/invert":
+                    return self._send(200, service.invert(req))
+                return self._send(404, {"error": "unknown path"})
+            except Exception as e:  # noqa: BLE001 — report, keep serving
+                return self._send(500, {"error": str(e)})
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    return ThreadingHTTPServer(("127.0.0.1", port), Handler)
+
+
+def main(argv=None):
+    import argparse
+
+    from loco_edit_tpu.cli.args import parse_args, preset
+
+    outer = argparse.ArgumentParser("loco-edit-tpu serve", add_help=False)
+    outer.add_argument("--port", type=int, default=8787)
+    port_args, rest = outer.parse_known_args(argv)
+
+    args = preset(parse_args(rest))
+    service = EditService(args)
+    # warm the compile caches before accepting traffic
+    print("warming pipeline (first compile may take minutes on TPU)...",
+          flush=True)
+    service.edit({"seed": 0, "sample_name": "warmup"})
+    srv = make_server(service, port_args.port)
+    print(f"serving on 127.0.0.1:{port_args.port}", flush=True)
+    srv.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,82 @@
+"""Warm-pipeline edit server: the HTTP surface end-to-end on the tiny model
+(health, maskless + bbox-masked edits, inversion, error handling)."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    from loco_edit_tpu.cli.args import parse_args, preset
+    from loco_edit_tpu.serve import EditService, make_server
+
+    root = str(tmp_path_factory.mktemp("serve"))
+    args = preset(parse_args([
+        "--model_name", "TinyTest", "--dataset_name", "Random",
+        "--for_steps", "8", "--inv_steps", "8", "--edit_t", "0.6",
+        "--performance_boosting_t", "0.2", "--x_space_guidance_scale", "0.5",
+        "--x_space_guidance_num_step", "2", "--pca_rank", "1",
+        "--pca_rank_null", "1", "--vis_num", "1",
+        "--null_space_projection", "true",
+        "--result_folder", root, "--seed", "11"]))
+    service = EditService(args)
+    service.pipe.cfg.save_images = False
+    service.pipe.cfg.min_iter, service.pipe.cfg.max_iter = 1, 2
+    srv = make_server(service, port=0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{port}", service
+    srv.shutdown()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=600) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_health_and_edit_roundtrip(server):
+    base, service = server
+    with urllib.request.urlopen(base + "/health", timeout=30) as r:
+        assert json.loads(r.read())["ok"]
+
+    status, out = _post(base + "/edit", {"seed": 3, "sample_name": "s0"})
+    assert status == 200
+    import base64
+
+    strip = np.frombuffer(base64.b64decode(out["strips"]["0"]),
+                          np.float32).reshape(out["shape"])
+    assert strip.shape[1:] == (32, 32, 3) and np.all(np.isfinite(strip))
+    assert out["secs"] > 0
+
+    # masked edit with null-space projection through the bbox
+    status, out2 = _post(base + "/edit", {
+        "seed": 4, "mask_bbox": [8, 20, 8, 20], "sample_name": "s1"})
+    assert status == 200 and out2["strips"]
+    assert service.edits_served >= 2
+
+
+def test_invert_endpoint_and_errors(server):
+    base, _ = server
+    import base64
+
+    img = (np.random.default_rng(0).normal(size=(1, 32, 32, 3))
+           .astype(np.float32) * 0.3)
+    status, out = _post(base + "/invert", {
+        "image": base64.b64encode(img.tobytes()).decode()})
+    assert status == 200 and out["shape"] == [1, 32, 32, 3]
+
+    # malformed request -> 500 with an error message, server keeps serving
+    try:
+        status, out = _post(base + "/invert", {"image": "not-base64!!"})
+    except urllib.error.HTTPError as e:
+        assert e.code == 500
+    with urllib.request.urlopen(base + "/health", timeout=30) as r:
+        assert json.loads(r.read())["ok"]
