@@ -324,7 +324,8 @@ def _main_t2i(args):
                         rng.fork("xT").key, (1,) + b["sample_shape"])),
                     pipe.prompt_set(args.for_prompt, args.edit_prompt),
                     "null+(for-null)")))
-        ablation = "diffedit" if args.ablation_method == "diffedit" else None
+        ablation = (args.ablation_method
+                    if args.ablation_method in ("diffedit", "sega") else None)
         pipe.run_edit_null_space_projection_xt(
             args.for_prompt, args.edit_prompt, mask=mask,
             semantic=semantic or args.run_edit_null_space_projection_xt_semantic,

@@ -240,7 +240,9 @@ class IFEditPipeline:
             ablation: str | None = None) -> dict:
         """Pixel-space IF edit (reference edit.py:1744-2028). semantic=True
         uses the direct/jacobian prompt directions, else the subspace
-        iteration; ablation in {'diffedit'} runs the masked sampler instead."""
+        iteration; ablation 'diffedit' runs the masked sampler, 'sega' the
+        edit-guided tail denoise (reference edit.py:2000-2007), both instead
+        of the basis machinery."""
         cfg = self.cfg
         prompts = self.prompt_set(for_prompt, edit_prompt)
         h, w, c = self.sample_shape
@@ -250,6 +252,14 @@ class IFEditPipeline:
         os.makedirs(out_dir, exist_ok=True)
 
         xt = self.forward_steps(xT, prompts, "null+(for-null)", 0, self.edit_t_idx)
+
+        if ablation == "sega":
+            x0 = self.forward_steps(xt, prompts, "null+(for-null)+(edit-null)",
+                                    self.edit_t_idx, None)
+            img = np.asarray(x0)
+            if cfg.save_images:
+                save_image_grid(img, os.path.join(out_dir, "sega.png"))
+            return {"image": img}
 
         if ablation == "diffedit":
             if mask is None:

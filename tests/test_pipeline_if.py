@@ -81,3 +81,15 @@ def test_if_diffedit_mask_and_masked_sampler(if_pipe_factory):
         mask=np.repeat(mask, 3, axis=-1), sample_name="s-de",
         ablation="diffedit")
     assert np.all(np.isfinite(out["image"]))
+
+
+def test_sega_ablation_branch(if_pipe_factory):
+    """IF SEGA ablation (reference edit.py:2000-2007): edit-guided tail
+    denoise from edit_t, no basis machinery."""
+    import numpy as np
+
+    pipe = if_pipe_factory(save_images=False)
+    out = pipe.run_edit_null_space_projection_xt(
+        "a dog", "a cat", sample_name="sega", ablation="sega")
+    assert set(out) == {"image"}
+    assert np.all(np.isfinite(out["image"]))
