@@ -26,6 +26,10 @@ def parse_args(argv=None):
     p.add_argument("--mask_folder", type=str, default="",
                    help="npz/png masks per pair (mmse only); empty = full-image MSE")
     p.add_argument("--data_range", type=float, default=255.0)
+    p.add_argument("--lpips_weights", type=str, default="",
+                   help="local torch LPIPS checkpoint for the native Flax "
+                        "path ('full.pth' or 'backbone.pth:lins.pth'); empty "
+                        "= LOCO_LPIPS_WEIGHTS env, then torchmetrics")
     return p.parse_args(argv)
 
 
@@ -65,7 +69,8 @@ def main(argv=None):
         if args.eval_metric == "ssim":
             r = float(metrics.ssim(a, b, data_range=args.data_range)[0])
         elif args.eval_metric == "lpips":
-            r = float(metrics.lpips(a / args.data_range, b / args.data_range)[0])
+            r = float(metrics.lpips(a / args.data_range, b / args.data_range,
+                                    weights_path=args.lpips_weights or None)[0])
         else:
             stem = os.path.splitext(os.path.basename(pp))[0]
             mask = (_load_mask(args.mask_folder, stem, a.shape)

@@ -64,16 +64,38 @@ def masked_mse(a: jnp.ndarray, b: jnp.ndarray,
     return jnp.sum(sq * m, axis=axes) / jnp.maximum(jnp.sum(m, axis=axes), 1.0)
 
 
-def lpips(a: np.ndarray, b: np.ndarray, net: str = "alex") -> np.ndarray:
-    """LPIPS via torchmetrics (gated: needs torch + pretrained weights on
-    disk/cache; raises ImportError otherwise). a, b: NHWC in [0,1]."""
+_lpips_cache: dict = {}
+
+
+def lpips(a: np.ndarray, b: np.ndarray, net: str = "alex",
+          weights_path: str | None = None) -> np.ndarray:
+    """LPIPS; a, b: NHWC in [0,1].
+
+    Preferred path: the native Flax model (utils/lpips_flax.py) fed from a
+    LOCAL torch checkpoint — pass `weights_path` or set LOCO_LPIPS_WEIGHTS to
+    a full lpips/torchmetrics state_dict (or "backbone.pth:lins.pth" for the
+    torchvision-features + lpips-heads pair). Falls back to torchmetrics if
+    installed; raises ImportError with guidance otherwise."""
+    import os
+
+    weights_path = weights_path or os.environ.get("LOCO_LPIPS_WEIGHTS")
+    if weights_path:
+        from loco_edit_tpu.utils.lpips_flax import LPIPSMetric
+
+        metric = _lpips_cache.get(weights_path)
+        if metric is None:
+            main, _, lin = weights_path.partition(":")
+            metric = LPIPSMetric.from_torch_file(main, lin or None)
+            _lpips_cache[weights_path] = metric
+        return metric(np.asarray(a), np.asarray(b), normalize=True)
     try:
         import torch
         from torchmetrics.image.lpip import LearnedPerceptualImagePatchSimilarity
     except ImportError as e:  # pragma: no cover
         raise ImportError(
-            "LPIPS needs torchmetrics with pretrained weights; install or use "
-            "ssim/masked_mse") from e
+            "LPIPS needs either a local weights file (set LOCO_LPIPS_WEIGHTS "
+            "or pass weights_path; see utils/lpips_flax.py) or torchmetrics "
+            "with pretrained weights; or use ssim/masked_mse") from e
     metric = LearnedPerceptualImagePatchSimilarity(net_type=net, normalize=True)
     ta = torch.from_numpy(np.transpose(np.asarray(a, np.float32), (0, 3, 1, 2)))
     tb = torch.from_numpy(np.transpose(np.asarray(b, np.float32), (0, 3, 1, 2)))
