@@ -54,18 +54,70 @@ def segment_image(image_uint8: np.ndarray, model_name: str = "facebook/sam-vit-l
     return np.stack(masks)
 
 
+def _stability_scores(logits: "np.ndarray", mask_threshold: float = 0.0,
+                      offset: float = 1.0) -> np.ndarray:
+    """SAM's stability score: IoU of the mask binarized at threshold+offset
+    vs threshold-offset on the raw logits (HF AMG default offset 1.0) —
+    near-1 means the mask barely moves under threshold perturbation."""
+    hi = (logits > (mask_threshold + offset)).reshape(logits.shape[0], -1)
+    lo = (logits > (mask_threshold - offset)).reshape(logits.shape[0], -1)
+    inter = hi.sum(-1).astype(np.float64)
+    union = lo.sum(-1).astype(np.float64)
+    return np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+
+
+def _mask_boxes(masks: np.ndarray) -> np.ndarray:
+    """Bounding boxes (x0, y0, x1, y1) of boolean masks (N, H, W)."""
+    boxes = np.zeros((masks.shape[0], 4), np.float64)
+    for i, m in enumerate(masks):
+        ys, xs = np.nonzero(m)
+        if ys.size:
+            boxes[i] = (xs.min(), ys.min(), xs.max() + 1, ys.max() + 1)
+    return boxes
+
+
+def _box_nms(boxes: np.ndarray, scores: np.ndarray, iou: float) -> np.ndarray:
+    """Greedy box NMS (the AMG postprocess step HF runs via torchvision);
+    returns kept indices in descending score order."""
+    order = np.argsort(-scores)
+    keep: list[int] = []
+    for i in order:
+        bi = boxes[i]
+        ok = True
+        for j in keep:
+            bj = boxes[j]
+            ix0, iy0 = max(bi[0], bj[0]), max(bi[1], bj[1])
+            ix1, iy1 = min(bi[2], bj[2]), min(bi[3], bj[3])
+            inter = max(0.0, ix1 - ix0) * max(0.0, iy1 - iy0)
+            area_i = (bi[2] - bi[0]) * (bi[3] - bi[1])
+            area_j = (bj[2] - bj[0]) * (bj[3] - bj[1])
+            union = area_i + area_j - inter
+            if union > 0 and inter / union > iou:
+                ok = False
+                break
+        if ok:
+            keep.append(int(i))
+    return np.asarray(keep, np.int64)
+
+
 def segment_image_flax_encoder(
     image_uint8: np.ndarray, sam_model, *, flax_params=None,
     points_per_side: int = 16, filter_mask: int = 100, resolution: int = 256,
     iou_threshold: float = 0.88, dedup_iou: float = 0.9,
-    mask_threshold: float = 0.0) -> np.ndarray:
+    mask_threshold: float = 0.0, stability_thresh: float = 0.95,
+    box_nms_iou: float = 0.7) -> np.ndarray:
     """Mask generation with the ViT encoder on the accelerator.
 
     sam_model: a transformers SamModel (host, eval mode); flax_params: its
     vision encoder converted via convert_sam_vision_state_dict (built on
-    first call if None). Returns (N, resolution, resolution) boolean masks
-    (area-filtered, IoU-deduped, best-of-3 per grid point by predicted IoU).
-    """
+    first call if None). Returns (N, resolution, resolution) boolean masks.
+
+    Postprocessing mirrors the HF automatic-mask-generation defaults the
+    reference pipeline applies (crops_n_layers=0, i.e. no crop pyramid): all
+    3 candidate masks per grid point, predicted-IoU filter (0.88), stability
+    score filter (0.95 at +/-1.0 logit offset), greedy bounding-box NMS
+    (0.7) scored by predicted IoU, then the reference's area filter plus a
+    mask-IoU dedup."""
     import torch
     from PIL import Image
 
@@ -103,18 +155,23 @@ def segment_image_flax_encoder(
     with torch.no_grad():
         out = sam_model(image_embeddings=emb_t, input_points=points,
                         input_labels=labels, multimask_output=True)
-    low = out.pred_masks[0]                    # (P, 3, h, w) logits
-    iou = out.iou_scores[0]                    # (P, 3)
-    best = iou.argmax(-1)
-    low = low[torch.arange(low.shape[0]), best]
-    iou = iou[torch.arange(iou.shape[0]), best]
-    keep = iou >= iou_threshold
-    if not bool(keep.any()):
-        keep = iou >= iou.max() - 1e-6          # keep at least the best point
+    low = out.pred_masks[0].reshape(-1, *out.pred_masks.shape[-2:])  # (3P,h,w)
+    iou = out.iou_scores[0].reshape(-1).float().numpy()              # (3P,)
+    logits = low.float().numpy()
+
+    stability = _stability_scores(logits, mask_threshold)
+    keep = (iou >= iou_threshold) & (stability >= stability_thresh)
+    if not keep.any():
+        keep = iou >= iou.max() - 1e-6          # keep at least the best mask
+    low, iou = low[torch.from_numpy(keep)], iou[keep]
+
     masks_t = torch.nn.functional.interpolate(
-        low[keep][:, None].float(), size=(resolution, resolution),
+        low[:, None].float(), size=(resolution, resolution),
         mode="bilinear")[:, 0] > mask_threshold
     cand = masks_t.numpy()
+
+    nms_keep = _box_nms(_mask_boxes(cand), iou, box_nms_iou)
+    cand = cand[nms_keep]
 
     out_masks: list[np.ndarray] = []
     for m in cand:

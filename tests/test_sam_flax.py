@@ -93,6 +93,34 @@ def test_presets_shape():
     assert SamViTConfig().grid == 64
 
 
+def test_amg_stability_scores():
+    """Stability = IoU of the +/-offset binarizations: a steep mask scores
+    ~1, a shallow-sloped mask scores low."""
+    from loco_edit_tpu.masks.sam import _stability_scores
+
+    steep = np.full((1, 8, 8), -10.0)
+    steep[0, 2:6, 2:6] = 10.0                      # far from threshold
+    shallow = np.linspace(-1.5, 1.5, 64).reshape(1, 8, 8)  # hugs threshold
+    s = _stability_scores(np.concatenate([steep, shallow]), 0.0, offset=1.0)
+    assert s[0] == pytest.approx(1.0)
+    assert s[1] < 0.8
+
+
+def test_amg_box_nms():
+    from loco_edit_tpu.masks.sam import _box_nms, _mask_boxes
+
+    m = np.zeros((3, 16, 16), bool)
+    m[0, 0:8, 0:8] = True       # box A
+    m[1, 1:8, 1:8] = True       # overlaps A heavily
+    m[2, 10:15, 10:15] = True   # disjoint
+    boxes = _mask_boxes(m)
+    np.testing.assert_allclose(boxes[0], (0, 0, 8, 8))
+    keep = _box_nms(boxes, np.array([0.9, 0.95, 0.5]), iou=0.7)
+    # the higher-scored overlapper (idx 1) suppresses idx 0; idx 2 survives
+    assert set(keep.tolist()) == {1, 2}
+    assert keep[0] == 1  # descending score order
+
+
 def test_segment_image_flax_encoder_end_to_end():
     """Full TPU-encoder mask-generation machinery on a tiny random SamModel:
     Flax embeddings -> host prompt-encoder/mask-decoder -> filtered masks."""
