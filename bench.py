@@ -81,14 +81,10 @@ def build_model():
     cfg = adm_preset("FFHQ_P2", dtype=jnp.bfloat16)
     model = ADMUNet(cfg)
     x = jnp.zeros((1, IMG, IMG, 3), jnp.float32)
-    shapes = jax.eval_shape(model.init, jax.random.key(0), x, 500.0)
-
-    def leaf(path, s):
-        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
-        fill = 1.0 if name == "scale" else 0.01
-        return jnp.full(s.shape, fill, s.dtype)
-
-    params = jax.tree_util.tree_map_with_path(leaf, shapes)
+    # real initializer params (not constant fill): the timing is
+    # data-independent, but realistic weight/activation magnitudes mean the
+    # measured program is numerically representative of a checkpointed run
+    params = jax.jit(model.init)(jax.random.key(0), x, 500.0)
     return model, params
 
 

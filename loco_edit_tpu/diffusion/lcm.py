@@ -40,7 +40,9 @@ class LCMGrid:
 def lcm_grid(num_inference_steps: int, schedule: NoiseSchedule | None = None,
              original_inference_steps: int = 50, timestep_scaling: float = 10.0,
              sigma_data: float = 0.5) -> LCMGrid:
-    schedule = schedule or NoiseSchedule.linear(
+    # the LCM Dreamshaper checkpoint's scheduler is scaled_linear
+    # (sqrt-space linspace, squared) — not a plain beta linspace
+    schedule = schedule or NoiseSchedule.scaled_linear(
         beta_start=0.00085, beta_end=0.012, timesteps=1000)
     train_steps = schedule.num_train_timesteps
     k = train_steps // original_inference_steps

@@ -22,6 +22,17 @@ def linear_betas(beta_start: float = 1e-4, beta_end: float = 0.02,
     return np.linspace(beta_start, beta_end, timesteps, dtype=np.float64)
 
 
+def scaled_linear_betas(beta_start: float = 0.00085, beta_end: float = 0.012,
+                        timesteps: int = 1000) -> np.ndarray:
+    """The Stable-Diffusion-family beta schedule (diffusers "scaled_linear"):
+    linspace in sqrt-beta space, then squared. SD 2.1/1.5 and the LCM
+    Dreamshaper checkpoints are trained on this table; the reference keeps
+    each checkpoint's own alphas_cumprod when it monkey-patches the scheduler
+    (src/utils/utils.py:147-170), so the T2I engines must too."""
+    return np.linspace(np.sqrt(beta_start), np.sqrt(beta_end), timesteps,
+                       dtype=np.float64) ** 2
+
+
 def cosine_betas(timesteps: int, s: float = 0.008) -> np.ndarray:
     """Improved-DDPM cosine schedule (arXiv 2102.09672)."""
     steps = timesteps + 1
@@ -55,12 +66,21 @@ class NoiseSchedule:
         return cls(betas=b, alphas_cumprod=alphas_cumprod_from_betas(b))
 
     @classmethod
+    def scaled_linear(cls, beta_start: float = 0.00085, beta_end: float = 0.012,
+                      timesteps: int = 1000) -> "NoiseSchedule":
+        b = scaled_linear_betas(beta_start, beta_end, timesteps)
+        return cls(betas=b, alphas_cumprod=alphas_cumprod_from_betas(b))
+
+    @classmethod
     def named(cls, name: str, timesteps: int = 1000) -> "NoiseSchedule":
         if name == "linear":
             return cls.linear(timesteps=timesteps)
-        if name == "cosine":
-            # reference builds the cosine table with t_max+1 steps
-            # (src/utils/utils.py:394-397)
+        if name == "scaled_linear":
+            return cls.scaled_linear(timesteps=timesteps)
+        if name in ("cosine", "squaredcos_cap_v2"):
+            # reference builds the uncond cosine table with t_max+1 steps
+            # (src/utils/utils.py:394-397); diffusers squaredcos_cap_v2 (the
+            # IF checkpoints) uses 1000 — same formula, caller picks timesteps
             return cls.cosine(timesteps=timesteps)
         raise ValueError(f"unknown noise schedule {name!r}")
 

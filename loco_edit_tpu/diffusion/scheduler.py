@@ -76,9 +76,11 @@ class LinspaceDDIM:
                  noise_schedule: str = "linear", t_max: int = 999,
                  learn_sigma: bool = False):
         if schedule is None:
-            # reference: cosine table is built with t_max+1 entries
-            # (src/utils/utils.py:394-397), linear with 1000.
-            n = 1000 if noise_schedule == "linear" else t_max + 1
+            # reference: the uncond "cosine" table is built with t_max+1
+            # entries (src/utils/utils.py:394-397); the linear table and the
+            # diffusers checkpoint schedules (scaled_linear for SD/LCM,
+            # squaredcos_cap_v2 for IF) all have 1000.
+            n = t_max + 1 if noise_schedule == "cosine" else 1000
             schedule = NoiseSchedule.named(noise_schedule, timesteps=n)
         self.schedule = schedule
         self.t_max = t_max

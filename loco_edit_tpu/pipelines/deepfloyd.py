@@ -82,7 +82,11 @@ class IFEditPipeline:
         self.unet_apply = lambda x, t, ctx: unet_apply(x, t, ctx)[..., :c]
         self.prompt_encoder = prompt_encoder
         self.superres = superres
-        self.scheduler = scheduler or LinspaceDDIM(t_max=cfg.t_max)
+        # IF checkpoints are trained on squaredcos_cap_v2 (the diffusers
+        # cosine table, 1000 entries); the reference keeps the checkpoint
+        # scheduler's alphas_cumprod (utils.py:159-170)
+        self.scheduler = scheduler or LinspaceDDIM(
+            t_max=cfg.t_max, noise_schedule="squaredcos_cap_v2")
         self.gen_grid = self.scheduler.generation_grid(cfg.for_steps)
         self.edit_t_idx = self.scheduler.nearest_step_index(cfg.for_steps, cfg.edit_t)
         self._emb_cache: dict[str, jnp.ndarray] = {}

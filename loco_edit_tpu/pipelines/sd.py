@@ -82,7 +82,11 @@ class SDEditPipeline:
             self.unet_apply = lambda z, t, ctx: unet_apply(z, t, ctx)[..., :c]
         else:
             self.unet_apply = unet_apply
-        self.scheduler = scheduler or LinspaceDDIM(t_max=cfg.t_max)
+        # SD checkpoints are trained on the scaled_linear beta table; the
+        # reference keeps the checkpoint scheduler's alphas_cumprod when it
+        # monkey-patches set_timesteps/step (utils.py:147-157)
+        self.scheduler = scheduler or LinspaceDDIM(
+            t_max=cfg.t_max, noise_schedule="scaled_linear")
         self.gen_grid = self.scheduler.generation_grid(cfg.for_steps)
         self.inv_grid = self.scheduler.inversion_grid(cfg.inv_steps)
         self.edit_t_idx = self.scheduler.nearest_step_index(cfg.for_steps, cfg.edit_t)

@@ -15,11 +15,38 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from loco_edit_tpu.core.rng import RngStream
 from loco_edit_tpu.diffusion import LinspaceDDIM
 from loco_edit_tpu.diffusion.sampling import ddim_scan
 from loco_edit_tpu.editing.cfg import cfg_eps
+
+
+def _bilinear_align_corners(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """Bilinear resize with torch align_corners=True semantics (output corner
+    pixels sample input corners; src = dst * (in-1)/(out-1)). The diffusers
+    IF-II pipeline preprocesses the conditioning image with
+    F.interpolate(..., mode="bilinear", align_corners=True), which differs
+    from jax.image.resize's half-pixel convention by a sub-pixel shift."""
+
+    def axis_weights(n_in: int, n_out: int):
+        if n_in == 1 or n_out == 1:
+            return np.zeros(n_out, np.int64), np.zeros(n_out, np.float32)
+        src = np.arange(n_out, dtype=np.float64) * (n_in - 1) / (n_out - 1)
+        i0 = np.clip(np.floor(src).astype(np.int64), 0, n_in - 2)
+        return i0, (src - i0).astype(np.float32)
+
+    b, h, w, c = x.shape
+    x = jnp.asarray(x, jnp.float32)
+    iy, wy = axis_weights(h, out_h)
+    ix, wx = axis_weights(w, out_w)
+    rows0 = jnp.take(x, iy, axis=1)
+    rows1 = jnp.take(x, np.minimum(iy + 1, h - 1), axis=1)
+    rows = rows0 * (1 - wy)[None, :, None, None] + rows1 * wy[None, :, None, None]
+    cols0 = jnp.take(rows, ix, axis=2)
+    cols1 = jnp.take(rows, np.minimum(ix + 1, w - 1), axis=2)
+    return cols0 * (1 - wx)[None, None, :, None] + cols1 * wx[None, None, :, None]
 
 
 class SuperResSampler:
@@ -31,12 +58,16 @@ class SuperResSampler:
     def __init__(self, unet_apply, prompt_encoder, *, out_size: int = 256,
                  channels: int = 3, steps: int = 50, guidance_scale: float = 4.0,
                  t_max: int = 990, aug_level: int | None = None,
+                 noise_schedule: str = "squaredcos_cap_v2",
                  rng: RngStream | None = None):
         self.out_size = out_size
         self.c = channels
         self.guidance_scale = guidance_scale
         self.prompt_encoder = prompt_encoder
-        self.scheduler = LinspaceDDIM(t_max=t_max)
+        # IF-II checkpoints (and their image_noising_scheduler) are trained on
+        # the squaredcos_cap_v2 cosine table — both the DDIM alpha-bars and
+        # the aug_level noising must use it
+        self.scheduler = LinspaceDDIM(t_max=t_max, noise_schedule=noise_schedule)
         self.grid = self.scheduler.generation_grid(steps)
         self.aug_level = aug_level
         self.rng = rng or RngStream.from_seed(0)
@@ -90,8 +121,7 @@ class SuperResSampler:
 
             self._jit_cache[key] = jax.jit(run)
 
-        up = jax.image.resize(
-            low_res, (b, self.out_size, self.out_size, self.c), "bilinear")
+        up = _bilinear_align_corners(low_res, self.out_size, self.out_size)
         # fresh streams per call (repeated upscales must not share noise)
         nk = jax.random.fold_in(self.rng.fork("sr-noise").key, self._calls)
         ak = jax.random.fold_in(self.rng.fork("sr-aug").key, self._calls)

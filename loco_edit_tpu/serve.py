@@ -61,6 +61,20 @@ class EditService:
             jax.random.key(seed), (1, h, w, c), "float32"))
         return None, xT
 
+    def _cache_name(self, req: dict, rank: int) -> str:
+        """Basis caches are disk-keyed by sample_name (pipelines/uncond.py),
+        so the default name must be a function of everything that determines
+        the basis — input (seed or image bytes), mask, and rank — or a second
+        request would silently reuse the first request's directions."""
+        if req.get("sample_name"):
+            return str(req["sample_name"])
+        import hashlib
+
+        ident = {k: req.get(k) for k in ("seed", "image", "mask_bbox")}
+        digest = hashlib.sha1(
+            json.dumps(ident, sort_keys=True).encode()).hexdigest()[:16]
+        return f"serve-{digest}-r{rank}"
+
     def edit(self, req: dict) -> dict:
         h, w, c = self.denoiser.sample_shape
         mask = None
@@ -69,23 +83,27 @@ class EditService:
             mask = np.zeros((1, h, w, c), bool)
             mask[:, y0:y1, x0_:x1, :] = True
         x0, xT = self._resolve_input(req)
+        rank = int(req.get("pca_rank") or self.pipe.cfg.pca_rank)
+        name = self._cache_name(req, rank)
         with self.lock:
             t0 = time.perf_counter()
+            old_rank = self.pipe.cfg.pca_rank
+            old_vis_pc = self.pipe.cfg.vis_num_pc
+            old_nsp = self.pipe.cfg.null_space_projection
+            self.pipe.cfg.pca_rank = rank
+            # API contract: one strip per requested principal component
+            self.pipe.cfg.vis_num_pc = rank
             if mask is None:
                 # null-space projection needs a mask; fall back to the
                 # unprojected basis for maskless requests
-                old = self.pipe.cfg.null_space_projection
                 self.pipe.cfg.null_space_projection = False
-                try:
-                    out = self.pipe.run_edit_null_space_projection(
-                        x0=x0, xT=xT, mask=None,
-                        sample_name=req.get("sample_name", "serve"))
-                finally:
-                    self.pipe.cfg.null_space_projection = old
-            else:
+            try:
                 out = self.pipe.run_edit_null_space_projection(
-                    x0=x0, xT=xT, mask=mask,
-                    sample_name=req.get("sample_name", "serve"))
+                    x0=x0, xT=xT, mask=mask, sample_name=name)
+            finally:
+                self.pipe.cfg.pca_rank = old_rank
+                self.pipe.cfg.vis_num_pc = old_vis_pc
+                self.pipe.cfg.null_space_projection = old_nsp
             secs = time.perf_counter() - t0
             self.edits_served += 1
         strips = {str(pc): _b64(s) for pc, s in out["strips"].items()}

@@ -38,7 +38,6 @@ _ALEX_CONVS = (0, 3, 6, 8, 10)          # taps after relu1..relu5
 _ALEX_CH = (64, 192, 384, 256, 256)
 # VGG16: taps after relu1_2, relu2_2, relu3_3, relu4_3, relu5_3
 _VGG_CONVS = (0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28)
-_VGG_TAP_AFTER = (2, 7, 14, 21, 28)     # last conv of each tap block
 _VGG_CH = (64, 128, 256, 512, 512)
 
 
@@ -136,13 +135,25 @@ def _oihw_to_hwio(w: np.ndarray) -> np.ndarray:
 
 
 def _normalize_keys(sd: Mapping[str, "np.ndarray"]) -> dict[str, np.ndarray]:
-    """Strip generic wrapper prefixes and make values numpy (accepts torch
-    tensors). The slice/lin/features structure itself is parsed downstream."""
+    """Strip wrapper prefixes and make values numpy (accepts torch tensors).
+
+    Handles the real shipped key shapes: torchmetrics prefixes everything
+    with one extra `net.` (`net.lin0...`, `net.net.slice1...`); the lpips
+    package registers the heads twice (attributes `lin0..lin4` AND the
+    nn.ModuleList `lins.0..lins.4` hold the same modules), so `lins.K.*`
+    aliases are renamed to `linK.*` and deduped."""
     out = {}
     for k, v in sd.items():
         arr = v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
         if k.startswith("module."):
             k = k[len("module."):]
+        if k.startswith("net.") and (
+                k.startswith(("net.lin", "net.scaling_layer", "net.net."))):
+            k = k[len("net."):]  # torchmetrics NoTrainLpips wrapper prefix
+        if k.startswith("lins."):
+            rest = k[len("lins."):]
+            idx, _, tail = rest.partition(".")
+            k = f"lin{idx}.{tail}"
         out[k] = arr
     return out
 
@@ -174,7 +185,13 @@ def convert_lpips_state_dict(state_dict: Mapping,
         elif parts[0] == "features":  # torchvision backbone
             convs.setdefault(int(parts[1]), {})[parts[-1]] = v
             consumed.add(k)
-        elif parts[0].startswith("lin"):
+        elif parts[0].isdigit() and parts[-1] in ("weight", "bias"):
+            # a bare `model.features.state_dict()` dump: keys like "0.weight"
+            convs.setdefault(int(parts[0]), {})[parts[-1]] = v
+            consumed.add(k)
+        elif parts[0] in ("classifier", "avgpool"):
+            consumed.add(k)  # torchvision heads — never part of LPIPS
+        elif parts[0].startswith("lin") and parts[0][3:].isdigit():
             # linK.model.1.weight (lpips) / linK.weight (flat)
             if parts[-1] == "weight":
                 lins[int(parts[0][3:])] = v.reshape(-1)

@@ -156,6 +156,50 @@ def test_lpips_converter_full_state_dict_and_strictness():
         convert_lpips_state_dict(bad2)
 
 
+def test_lpips_converter_real_checkpoint_key_shapes():
+    """The key shapes real checkpoints actually ship:
+    - lpips package: duplicate heads (`lin0.model.1.weight` AND
+      `lins.0.model.1.weight` alias the same module) + slice backbone
+    - torchmetrics: everything under one extra `net.` prefix
+    - torchvision full file: classifier/avgpool extras alongside features
+    - bare `features.state_dict()` dump: keys like "0.weight"."""
+    rng = np.random.default_rng(4)
+    feat = _make_alex_sd(rng)
+    lins = _make_lins(rng, (64, 192, 384, 256, 256))
+    slice_of = {0: 1, 3: 2, 6: 3, 8: 4, 10: 5}
+
+    # --- lpips package style with duplicated lins.* aliases
+    sd = {}
+    for k, v in feat.items():
+        fi = int(k.split(".")[1])
+        sd[f"net.slice{slice_of[fi]}.{fi}.{k.split('.')[-1]}"] = v
+    sd.update(lins)
+    sd.update({f"lins.{k[3]}.model.1.weight": v for k, v in lins.items()})
+    sd["scaling_layer.shift"] = _SHIFT
+    sd["scaling_layer.scale"] = _SCALE
+    v1, net = convert_lpips_state_dict(sd)
+    assert net == "alex"
+
+    # --- torchmetrics: one extra net. prefix on every key
+    tm = {("net." + k): v for k, v in sd.items()}
+    v2, _ = convert_lpips_state_dict(tm)
+    np.testing.assert_array_equal(v1["params"]["lin3"], v2["params"]["lin3"])
+
+    # --- torchvision full checkpoint (classifier extras) + separate heads
+    tv = dict(feat)
+    tv["classifier.1.weight"] = torch.zeros(4096, 9216)
+    tv["classifier.1.bias"] = torch.zeros(4096)
+    v3, _ = convert_lpips_state_dict(tv, lins)
+    np.testing.assert_array_equal(v1["params"]["trunk"]["conv0"]["kernel"],
+                                  v3["params"]["trunk"]["conv0"]["kernel"])
+
+    # --- bare features submodule dump ("0.weight", ...)
+    bare = {k.split(".", 1)[1]: v for k, v in feat.items()}
+    v4, _ = convert_lpips_state_dict(bare, lins)
+    np.testing.assert_array_equal(v3["params"]["trunk"]["conv4"]["bias"],
+                                  v4["params"]["trunk"]["conv4"]["bias"])
+
+
 def test_eval_cli_lpips_with_local_weights(tmp_path):
     """End-to-end: a synthetic full LPIPS checkpoint on disk drives the eval
     CLI's lpips metric through the native Flax path (no torchmetrics)."""

@@ -41,6 +41,44 @@ def test_cosine_schedule_matches_torch():
     np.testing.assert_allclose(sched.betas, betas.numpy(), rtol=1e-12)
 
 
+def test_scaled_linear_schedule_matches_diffusers_formula():
+    """SD/LCM checkpoints: betas = linspace(sqrt(b0), sqrt(b1), N)**2
+    (diffusers "scaled_linear"); the reference keeps the checkpoint's own
+    alphas_cumprod when monkey-patching (utils.py:147-170)."""
+    torch = pytest.importorskip("torch")
+    betas_t = torch.linspace(0.00085 ** 0.5, 0.012 ** 0.5, 1000,
+                             dtype=torch.float64) ** 2
+    ab_t = torch.cumprod(1.0 - betas_t, dim=0).numpy()
+    sched = NoiseSchedule.scaled_linear()
+    np.testing.assert_allclose(sched.alphas_cumprod, ab_t, rtol=1e-12)
+    np.testing.assert_allclose(
+        NoiseSchedule.named("scaled_linear").alphas_cumprod, ab_t, rtol=1e-12)
+
+
+def test_t2i_family_schedule_defaults():
+    """Pipeline scheduler defaults must match each checkpoint family's
+    training schedule: SD/LCM scaled_linear, IF squaredcos_cap_v2 (1000-entry
+    cosine); the uncond cosine keeps the reference's t_max+1 table."""
+    from loco_edit_tpu.diffusion.lcm import lcm_grid
+    from loco_edit_tpu.diffusion.scheduler import LinspaceDDIM
+
+    sd = LinspaceDDIM(t_max=999, noise_schedule="scaled_linear")
+    np.testing.assert_allclose(sd.schedule.alphas_cumprod,
+                               NoiseSchedule.scaled_linear().alphas_cumprod)
+
+    iff = LinspaceDDIM(t_max=990, noise_schedule="squaredcos_cap_v2")
+    assert iff.schedule.num_train_timesteps == 1000  # diffusers table size
+    np.testing.assert_allclose(iff.schedule.alphas_cumprod,
+                               NoiseSchedule.cosine(1000).alphas_cumprod)
+
+    uncond_cos = LinspaceDDIM(t_max=990, noise_schedule="cosine")
+    assert uncond_cos.schedule.num_train_timesteps == 991  # reference t_max+1
+
+    g = lcm_grid(4)
+    want = NoiseSchedule.scaled_linear().alphas_cumprod
+    np.testing.assert_allclose(g.alpha_bar, want[g.t.astype(int)], rtol=1e-6)
+
+
 def test_generation_grid_semantics():
     dd = LinspaceDDIM()
     n = 100

@@ -63,6 +63,28 @@ def test_health_and_edit_roundtrip(server):
     assert service.edits_served >= 2
 
 
+def test_distinct_requests_do_not_share_basis_cache(server):
+    """Two /edit requests with different seeds and no sample_name must get
+    independent bases: the default disk-cache key is derived from the request
+    content (a fixed default name would silently reuse request 1's
+    directions for request 2)."""
+    import base64
+
+    base, _ = server
+    _, o1 = _post(base + "/edit", {"seed": 21})
+    _, o2 = _post(base + "/edit", {"seed": 22})
+    s1 = np.frombuffer(base64.b64decode(o1["strips"]["0"]), np.float32)
+    s2 = np.frombuffer(base64.b64decode(o2["strips"]["0"]), np.float32)
+    assert not np.allclose(s1, s2)
+
+
+def test_edit_honors_requested_pca_rank(server):
+    base, service = server
+    _, out = _post(base + "/edit", {"seed": 31, "pca_rank": 2})
+    assert len(out["strips"]) == 2  # one strip per principal component
+    assert service.pipe.cfg.pca_rank == 1  # server default restored
+
+
 def test_invert_endpoint_and_errors(server):
     base, _ = server
     import base64
