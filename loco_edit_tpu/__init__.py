@@ -22,3 +22,20 @@ Layers (bottom-up):
 """
 
 __version__ = "0.1.0"
+
+# LOCO_PLATFORM pins the JAX backend for this package's entry points.
+# Rationale: some out-of-tree TPU plugins (the axon tunnel in this
+# environment) export JAX_PLATFORMS themselves and ignore user overrides of
+# it, so CPU-pinned smoke scripts silently run every op through the TPU RPC
+# tunnel. jax.config.update IS honored, so a dedicated env var — one the
+# plugin can't have claimed — is mirrored into the config before any
+# backend initializes (importing jax does not initialize one).
+import os as _os
+
+if _os.environ.get("LOCO_PLATFORM"):
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", _os.environ["LOCO_PLATFORM"])
+    except Exception:  # pragma: no cover - backend already initialized
+        pass

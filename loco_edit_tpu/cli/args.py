@@ -122,6 +122,11 @@ def parse_args(argv=None):
 
     # mask segmentation
     add("--mask_model_name", type=str, default="facebook/sam-vit-large")
+    # hf_pipeline = the reference's host-side mask-generation pipeline;
+    # flax = the whole SAM (ViT encoder + grid decode) as one jitted TPU
+    # program (masks/sam.py segment_image_flax_encoder)
+    add("--mask_backend", type=str, default="hf_pipeline",
+        choices=["hf_pipeline", "flax"])
     add("--filter_mask", type=int, default=100)
     add("--mask_index", type=int, default=0)
     add("--mask_type", type=str, default="SAM", choices=["SAM", "diffedit"])

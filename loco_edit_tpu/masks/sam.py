@@ -8,11 +8,12 @@ edit.py:2237-2247).
 
 Two backends:
   - `segment_image` — the reference's all-torch host pipeline (fallback).
-  - `segment_image_flax_encoder` — the heavy ViT image encoder runs as the
-    Flax model (masks/sam_flax.py, golden-parity tested) on the accelerator;
-    the lightweight prompt-encoder/mask-decoder stage stays host-side through
-    `SamModel(image_embeddings=...)` over a uniform point grid, with the
-    reference's area filter plus IoU dedup.
+  - `segment_image_flax_encoder` — the WHOLE model on the accelerator: ViT
+    image encoder (masks/sam_flax.py) + prompt-encoder/mask-decoder
+    (masks/sam_decoder_flax.py), both golden-parity tested, decode the full
+    point grid in one jitted batch; only boolean candidate masks return to
+    the host for NMS / area filter / IoU dedup. `use_flax_decoder=False`
+    keeps the split mode (Flax encoder, host torch decode) for verification.
 """
 
 from __future__ import annotations
@@ -102,15 +103,24 @@ def _box_nms(boxes: np.ndarray, scores: np.ndarray, iou: float) -> np.ndarray:
 
 def segment_image_flax_encoder(
     image_uint8: np.ndarray, sam_model, *, flax_params=None,
+    decoder_params=None, use_flax_decoder: bool = True,
     points_per_side: int = 16, filter_mask: int = 100, resolution: int = 256,
     iou_threshold: float = 0.88, dedup_iou: float = 0.9,
     mask_threshold: float = 0.0, stability_thresh: float = 0.95,
     box_nms_iou: float = 0.7) -> np.ndarray:
-    """Mask generation with the ViT encoder on the accelerator.
+    """Mask generation with SAM on the accelerator.
 
-    sam_model: a transformers SamModel (host, eval mode); flax_params: its
-    vision encoder converted via convert_sam_vision_state_dict (built on
-    first call if None). Returns (N, resolution, resolution) boolean masks.
+    sam_model: a transformers SamModel (host, eval mode, the weight source);
+    flax_params / decoder_params: its vision encoder / prompt+mask decoder
+    converted via convert_sam_{vision,decoder}_state_dict (built on first
+    call if None). Returns (N, resolution, resolution) boolean masks.
+
+    With use_flax_decoder (default) the ENTIRE model runs as one jitted
+    program — encoder, the whole point grid through the two-way transformer
+    in a single batch, mask upscaling, and the resize to `resolution` — and
+    only the boolean candidate masks come back to the host for NMS/dedup.
+    use_flax_decoder=False keeps the round-2 split (Flax encoder, host torch
+    SamModel decode) as the verification fallback.
 
     Postprocessing mirrors the HF automatic-mask-generation defaults the
     reference pipeline applies (crops_n_layers=0, i.e. no crop pyramid): all
@@ -118,9 +128,9 @@ def segment_image_flax_encoder(
     score filter (0.95 at +/-1.0 logit offset), greedy bounding-box NMS
     (0.7) scored by predicted IoU, then the reference's area filter plus a
     mask-IoU dedup."""
-    import torch
     from PIL import Image
 
+    import jax
     import jax.numpy as jnp
 
     from loco_edit_tpu.masks.sam_flax import (
@@ -142,33 +152,76 @@ def segment_image_flax_encoder(
     std = np.array([58.395, 57.12, 57.375], np.float32)
     x = (x - mean) / std
 
-    emb = SamViTEncoder(cfg).apply(flax_params, jnp.asarray(x[None]))
-    emb_t = torch.from_numpy(
-        np.ascontiguousarray(np.asarray(emb, np.float32).transpose(0, 3, 1, 2)))
-
     # uniform point grid in pixel coords of the resized image
     g = (np.arange(points_per_side) + 0.5) * (size / points_per_side)
-    pts = np.stack(np.meshgrid(g, g), -1).reshape(-1, 2)  # (P, 2) xy
-    points = torch.from_numpy(pts.astype(np.float32)).reshape(1, -1, 1, 2)
-    labels = torch.ones(points.shape[:3], dtype=torch.int32)
+    pts = np.stack(np.meshgrid(g, g), -1).reshape(1, -1, 1, 2).astype(np.float32)
 
-    with torch.no_grad():
-        out = sam_model(image_embeddings=emb_t, input_points=points,
-                        input_labels=labels, multimask_output=True)
-    low = out.pred_masks[0].reshape(-1, *out.pred_masks.shape[-2:])  # (3P,h,w)
-    iou = out.iou_scores[0].reshape(-1).float().numpy()              # (3P,)
-    logits = low.float().numpy()
+    if use_flax_decoder:
+        from loco_edit_tpu.masks.sam_decoder_flax import (
+            SamMaskDecodeModel,
+            convert_sam_decoder_state_dict,
+            decoder_config_from_hf,
+        )
 
-    stability = _stability_scores(logits, mask_threshold)
-    keep = (iou >= iou_threshold) & (stability >= stability_thresh)
-    if not keep.any():
-        keep = iou >= iou.max() - 1e-6          # keep at least the best mask
-    low, iou = low[torch.from_numpy(keep)], iou[keep]
+        dcfg = decoder_config_from_hf(sam_model.config)
+        if decoder_params is None:
+            sd = {k: v.numpy() for k, v in sam_model.state_dict().items()}
+            decoder_params = convert_sam_decoder_state_dict(sd, dcfg)
+        # device arrays, not host numpy: numpy leaves indexed by tracers
+        # inside jit would trip TracerArrayConversionError
+        flax_params = jax.tree.map(jnp.asarray, flax_params)
+        decoder_params = jax.tree.map(jnp.asarray, decoder_params)
 
-    masks_t = torch.nn.functional.interpolate(
-        low[:, None].float(), size=(resolution, resolution),
-        mode="bilinear")[:, 0] > mask_threshold
-    cand = masks_t.numpy()
+        @jax.jit
+        def run(px, points, labels):
+            emb = SamViTEncoder(cfg).apply(flax_params, px)
+            m, s = SamMaskDecodeModel(dcfg).apply(
+                decoder_params, emb, points=points, labels=labels)
+            m = m.reshape(-1, *m.shape[-2:])  # (3P, h, w) logits
+            # stability score on the LOW-RES logits (HF AMG semantics)
+            hi = (m > mask_threshold + 1.0).sum((1, 2)).astype(jnp.float32)
+            lo = (m > mask_threshold - 1.0).sum((1, 2)).astype(jnp.float32)
+            stab = jnp.where(lo > 0, hi / jnp.maximum(lo, 1.0), 0.0)
+            # torch F.interpolate(bilinear) semantics: half-pixel, no AA
+            m = jax.image.resize(m, (m.shape[0], resolution, resolution),
+                                 "bilinear", antialias=False)
+            return m > mask_threshold, s.reshape(-1), stab
+
+        labels = np.ones(pts.shape[:3], np.int32)
+        masks_b, iou, stability = run(jnp.asarray(x[None]), jnp.asarray(pts),
+                                      jnp.asarray(labels))
+        masks_b, iou = np.asarray(masks_b), np.asarray(iou)
+        keep = (iou >= iou_threshold) & (np.asarray(stability) >= stability_thresh)
+        if not keep.any():
+            keep = iou >= iou.max() - 1e-6      # keep at least the best mask
+        iou = iou[keep]
+        cand = masks_b[keep]
+    else:
+        import torch
+
+        emb = SamViTEncoder(cfg).apply(flax_params, jnp.asarray(x[None]))
+        emb_t = torch.from_numpy(np.ascontiguousarray(
+            np.asarray(emb, np.float32).transpose(0, 3, 1, 2)))
+        points = torch.from_numpy(pts)
+        labels = torch.ones(points.shape[:3], dtype=torch.int32)
+
+        with torch.no_grad():
+            out = sam_model(image_embeddings=emb_t, input_points=points,
+                            input_labels=labels, multimask_output=True)
+        low = out.pred_masks[0].reshape(-1, *out.pred_masks.shape[-2:])
+        iou = out.iou_scores[0].reshape(-1).float().numpy()          # (3P,)
+        logits = low.float().numpy()
+
+        stability = _stability_scores(logits, mask_threshold)
+        keep = (iou >= iou_threshold) & (stability >= stability_thresh)
+        if not keep.any():
+            keep = iou >= iou.max() - 1e-6      # keep at least the best mask
+        low, iou = low[torch.from_numpy(keep)], iou[keep]
+
+        masks_t = torch.nn.functional.interpolate(
+            low[:, None].float(), size=(resolution, resolution),
+            mode="bilinear")[:, 0] > mask_threshold
+        cand = masks_t.numpy()
 
     nms_keep = _box_nms(_mask_boxes(cand), iou, box_nms_iou)
     cand = cand[nms_keep]
@@ -194,9 +247,18 @@ def segment_image_flax_encoder(
 def extract_and_cache_masks(args, x0: np.ndarray, mask_path: str) -> np.ndarray:
     """Decode x0 -> run SAM -> cache masks (+ overlay previews) at mask_path."""
     img = to_uint8(x0)[0]
-    masks = segment_image(img, args.mask_model_name, args.filter_mask,
-                          resolution=args.image_size,
-                          cache_folder=getattr(args, "cache_folder", None) or None)
+    cache = getattr(args, "cache_folder", None) or None
+    if getattr(args, "mask_backend", "hf_pipeline") == "flax":
+        from transformers import SamModel
+
+        sam_model = SamModel.from_pretrained(
+            args.mask_model_name, cache_dir=cache).eval()
+        masks = segment_image_flax_encoder(
+            img, sam_model, filter_mask=args.filter_mask,
+            resolution=args.image_size)
+    else:
+        masks = segment_image(img, args.mask_model_name, args.filter_mask,
+                              resolution=args.image_size, cache_folder=cache)
     os.makedirs(os.path.dirname(mask_path), exist_ok=True)
     # broadcast to 3 channels NHWC to match the edit mask convention
     masks3 = np.repeat(masks[:, :, :, None], 3, axis=-1)

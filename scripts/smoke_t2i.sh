@@ -4,7 +4,8 @@
 set -e
 cd "$(dirname "$0")/.."
 export LOCO_SD_PRESET=tiny
-export JAX_PLATFORMS=cpu
+# LOCO_PLATFORM (not JAX_PLATFORMS): the axon TPU plugin claims the latter
+export LOCO_PLATFORM=cpu
 bash scripts/main_T2I_LCM_null_space_projection_nonsemantic.sh \
     --use_mask false --null_space_projection false \
     --x_space_guidance_num_step 4 --pca_rank 1 --pca_rank_null 1 "$@"
