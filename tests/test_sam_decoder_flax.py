@@ -166,3 +166,29 @@ def test_amg_flax_pipeline_matches_host_decode(sam, tmp_path):
     want = segment_image_flax_encoder(img, model, use_flax_decoder=False, **kw)
     assert got.shape == want.shape
     assert (got == want).mean() > 0.995  # resize-boundary pixels may differ
+
+
+def test_extract_and_cache_masks_flax_backend(sam, tmp_path, monkeypatch):
+    """CLI wiring: --mask_backend flax drives the all-Flax AMG through
+    extract_and_cache_masks (SamModel loaded from a local save_pretrained
+    dir), writing the NHWC 3-channel mask cache + overlays."""
+    import argparse
+
+    torch, cfg, model, _, _ = sam
+    from loco_edit_tpu.masks.sam import extract_and_cache_masks
+
+    mdir = tmp_path / "tiny-sam"
+    model.save_pretrained(mdir)
+
+    args = argparse.Namespace(
+        mask_model_name=str(mdir), mask_backend="flax", filter_mask=0,
+        image_size=16, cache_folder=None)
+    rng = np.random.default_rng(11)
+    x0 = rng.uniform(-1, 1, size=(1, 24, 24, 3)).astype(np.float32)
+    mask_path = str(tmp_path / "run" / "mask.npz")
+    masks3 = extract_and_cache_masks(args, x0, mask_path)
+    assert masks3.ndim == 4 and masks3.shape[1:] == (16, 16, 3)
+    assert masks3.dtype == bool
+    cached = np.load(mask_path if mask_path.endswith(".npz")
+                     else mask_path + ".npz")["masks"]
+    np.testing.assert_array_equal(cached, masks3)
