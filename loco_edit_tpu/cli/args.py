@@ -78,6 +78,10 @@ def parse_args(argv=None):
     # guidance
     add("--guidance_scale", type=float, default=0.0)
     add("--guidance_scale_edit", type=float, default=4.0)
+    # IF stage-2 CFG: the diffusers IFSuperResolutionPipeline default (4.0),
+    # deliberately NOT inherited from the stage-1 --guidance_scale (the
+    # reference upscales with the pipeline default, edit.py:1375-1392)
+    add("--stage2_guidance_scale", type=float, default=4.0)
 
     # x-space guidance / subspace ranks
     add("--use_x_space_guidance", type=str2bool, default=False)

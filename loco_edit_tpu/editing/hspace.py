@@ -46,10 +46,14 @@ def global_pca_h(h_fn: Callable, xs: jnp.ndarray, *, rank: int,
     reference's CPU-offloaded randomized PCA; h extraction chunks through
     lax.map to bound memory instead of host buffering (`memory_bound`)."""
     n = xs.shape[0]
-    if chunk and n % chunk == 0:
+    if chunk and n > chunk:
+        # pad to a chunk multiple (wrap rows; dropped after the map) so the
+        # memory bound holds for every population size, not only divisors
+        pad = (-n) % chunk
+        xs_p = jnp.concatenate([xs, xs[:pad]]) if pad else xs
         hs = jax.lax.map(jax.vmap(lambda z: h_fn(z[None]).reshape(-1)),
-                         xs.reshape(n // chunk, chunk, *xs.shape[1:]))
-        hs = hs.reshape(n, -1)
+                         xs_p.reshape(-1, chunk, *xs.shape[1:]))
+        hs = hs.reshape(xs_p.shape[0], -1)[:n]
     else:
         hs = jax.vmap(lambda z: h_fn(z[None]).reshape(-1))(xs)
     centered = (hs - jnp.mean(hs, axis=0, keepdims=True)).astype(jnp.float32)

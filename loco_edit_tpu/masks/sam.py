@@ -104,7 +104,8 @@ def _box_nms(boxes: np.ndarray, scores: np.ndarray, iou: float) -> np.ndarray:
 def segment_image_flax_encoder(
     image_uint8: np.ndarray, sam_model, *, flax_params=None,
     decoder_params=None, use_flax_decoder: bool = True,
-    points_per_side: int = 16, filter_mask: int = 100, resolution: int = 256,
+    points_per_side: int = 32, points_per_batch: int = 64,
+    filter_mask: int = 100, resolution: int = 256,
     iou_threshold: float = 0.88, dedup_iou: float = 0.9,
     mask_threshold: float = 0.0, stability_thresh: float = 0.95,
     box_nms_iou: float = 0.7) -> np.ndarray:
@@ -115,19 +116,27 @@ def segment_image_flax_encoder(
     converted via convert_sam_{vision,decoder}_state_dict (built on first
     call if None). Returns (N, resolution, resolution) boolean masks.
 
-    With use_flax_decoder (default) the ENTIRE model runs as one jitted
-    program — encoder, the whole point grid through the two-way transformer
-    in a single batch, mask upscaling, and the resize to `resolution` — and
-    only the boolean candidate masks come back to the host for NMS/dedup.
+    With use_flax_decoder (default) the model runs jitted on the
+    accelerator — encoder once, then the point grid through the two-way
+    transformer and mask upscaling in fixed-size point batches (one compiled
+    program, `points_per_batch` points per launch, bounding the upscaled-
+    logits working set exactly like HF's points_per_batch) — and only boolean
+    candidate masks come back to the host for NMS/dedup.
     use_flax_decoder=False keeps the round-2 split (Flax encoder, host torch
     SamModel decode) as the verification fallback.
 
-    Postprocessing mirrors the HF automatic-mask-generation defaults the
-    reference pipeline applies (crops_n_layers=0, i.e. no crop pyramid): all
-    3 candidate masks per grid point, predicted-IoU filter (0.88), stability
-    score filter (0.95 at +/-1.0 logit offset), greedy bounding-box NMS
-    (0.7) scored by predicted IoU, then the reference's area filter plus a
-    mask-IoU dedup."""
+    Pre/postprocessing mirrors the HF pipeline the reference runs
+    (crops_n_layers=0, i.e. no crop pyramid): bilinear longest-edge resize +
+    zero-pad-to-square input (SamImageProcessor), a 32x32 point grid over
+    the original image, all 3 candidate masks per point, low-res logits
+    upscaled to the padded frame -> cropped -> resized to the image frame
+    BEFORE scoring (post_process_masks order), predicted-IoU filter (0.88),
+    stability score filter (0.95 at +/-1.0 logit offset) on the upscaled
+    logits, greedy bounding-box NMS (0.7) scored by predicted IoU, then the
+    reference's area filter plus a mask-IoU dedup. The returned masks are
+    produced from the same cropped logits at `resolution` (the edit-model
+    frame; identical to the image frame in the CLI, where the input is the
+    decoded x0)."""
     from PIL import Image
 
     import jax
@@ -145,16 +154,29 @@ def segment_image_flax_encoder(
         flax_params = convert_sam_vision_state_dict(sd, cfg)
 
     size = cfg.image_size
-    pil = Image.fromarray(image_uint8).resize((size, size))
-    x = np.asarray(pil, np.float32)
-    # SAM pixel normalization (SamImageProcessor defaults)
+    orig_h, orig_w = image_uint8.shape[:2]
+    # SamImageProcessor: longest-edge bilinear resize, then zero-pad (in
+    # normalized space) to a size x size square
+    scale = size / max(orig_h, orig_w)
+    new_h = int(orig_h * scale + 0.5)
+    new_w = int(orig_w * scale + 0.5)
+    pil = Image.fromarray(image_uint8).resize((new_w, new_h), Image.BILINEAR)
     mean = np.array([123.675, 116.28, 103.53], np.float32)
     std = np.array([58.395, 57.12, 57.375], np.float32)
-    x = (x - mean) / std
+    x = np.zeros((size, size, 3), np.float32)
+    x[:new_h, :new_w] = (np.asarray(pil, np.float32) - mean) / std
 
-    # uniform point grid in pixel coords of the resized image
-    g = (np.arange(points_per_side) + 0.5) * (size / points_per_side)
-    pts = np.stack(np.meshgrid(g, g), -1).reshape(1, -1, 1, 2).astype(np.float32)
+    # uniform point grid over the ORIGINAL image (HF build_point_grid),
+    # mapped into resized-frame pixel coords the prompt encoder expects
+    gx = (np.arange(points_per_side) + 0.5) / points_per_side * new_w
+    gy = (np.arange(points_per_side) + 0.5) / points_per_side * new_h
+    pts = np.stack(np.meshgrid(gx, gy), -1).reshape(1, -1, 1, 2).astype(np.float32)
+    n_pts = pts.shape[1]
+
+    ppb = max(1, min(points_per_batch, n_pts))
+    n_pad = (-n_pts) % ppb
+    if n_pad:  # pad the grid to a batch multiple; extras dropped below
+        pts = np.concatenate([pts, np.repeat(pts[:, :1], n_pad, 1)], axis=1)
 
     if use_flax_decoder:
         from loco_edit_tpu.masks.sam_decoder_flax import (
@@ -172,26 +194,40 @@ def segment_image_flax_encoder(
         flax_params = jax.tree.map(jnp.asarray, flax_params)
         decoder_params = jax.tree.map(jnp.asarray, decoder_params)
 
+        encode = jax.jit(lambda px: SamViTEncoder(cfg).apply(flax_params, px))
+
+        def _resize(m, h, w):
+            # torch F.interpolate(bilinear) semantics: half-pixel, no AA
+            return jax.image.resize(m, (m.shape[0], h, w), "bilinear",
+                                    antialias=False)
+
         @jax.jit
-        def run(px, points, labels):
-            emb = SamViTEncoder(cfg).apply(flax_params, px)
+        def decode_batch(emb, points, labels):
             m, s = SamMaskDecodeModel(dcfg).apply(
                 decoder_params, emb, points=points, labels=labels)
-            m = m.reshape(-1, *m.shape[-2:])  # (3P, h, w) logits
-            # stability score on the LOW-RES logits (HF AMG semantics)
-            hi = (m > mask_threshold + 1.0).sum((1, 2)).astype(jnp.float32)
-            lo = (m > mask_threshold - 1.0).sum((1, 2)).astype(jnp.float32)
+            m = m.reshape(-1, *m.shape[-2:])  # (3*ppb, h, w) low-res logits
+            # HF post_process_masks: low-res -> padded frame -> crop -> image
+            m = _resize(m, size, size)[:, :new_h, :new_w]
+            mi = _resize(m, orig_h, orig_w)
+            # stability score on the image-frame logits (filter_masks order)
+            hi = (mi > mask_threshold + 1.0).sum((1, 2)).astype(jnp.float32)
+            lo = (mi > mask_threshold - 1.0).sum((1, 2)).astype(jnp.float32)
             stab = jnp.where(lo > 0, hi / jnp.maximum(lo, 1.0), 0.0)
-            # torch F.interpolate(bilinear) semantics: half-pixel, no AA
-            m = jax.image.resize(m, (m.shape[0], resolution, resolution),
-                                 "bilinear", antialias=False)
-            return m > mask_threshold, s.reshape(-1), stab
+            if (orig_h, orig_w) != (resolution, resolution):
+                mi = _resize(m, resolution, resolution)
+            return mi > mask_threshold, s.reshape(-1), stab
 
-        labels = np.ones(pts.shape[:3], np.int32)
-        masks_b, iou, stability = run(jnp.asarray(x[None]), jnp.asarray(pts),
-                                      jnp.asarray(labels))
-        masks_b, iou = np.asarray(masks_b), np.asarray(iou)
-        keep = (iou >= iou_threshold) & (np.asarray(stability) >= stability_thresh)
+        emb = encode(jnp.asarray(x[None]))
+        parts = []
+        for i in range(0, pts.shape[1], ppb):
+            batch = jnp.asarray(pts[:, i:i + ppb])
+            parts.append(decode_batch(
+                emb, batch, jnp.ones(batch.shape[:3], jnp.int32)))
+        masks_b = np.concatenate([np.asarray(p[0]) for p in parts])[:3 * n_pts]
+        iou = np.concatenate([np.asarray(p[1]) for p in parts])[:3 * n_pts]
+        stability = np.concatenate(
+            [np.asarray(p[2]) for p in parts])[:3 * n_pts]
+        keep = (iou >= iou_threshold) & (stability >= stability_thresh)
         if not keep.any():
             keep = iou >= iou.max() - 1e-6      # keep at least the best mask
         iou = iou[keep]
@@ -202,26 +238,35 @@ def segment_image_flax_encoder(
         emb = SamViTEncoder(cfg).apply(flax_params, jnp.asarray(x[None]))
         emb_t = torch.from_numpy(np.ascontiguousarray(
             np.asarray(emb, np.float32).transpose(0, 3, 1, 2)))
-        points = torch.from_numpy(pts)
-        labels = torch.ones(points.shape[:3], dtype=torch.int32)
 
+        def interp(t, h, w):
+            return torch.nn.functional.interpolate(
+                t, size=(h, w), mode="bilinear")
+
+        cand_l, iou_l, stab_l = [], [], []
         with torch.no_grad():
-            out = sam_model(image_embeddings=emb_t, input_points=points,
-                            input_labels=labels, multimask_output=True)
-        low = out.pred_masks[0].reshape(-1, *out.pred_masks.shape[-2:])
-        iou = out.iou_scores[0].reshape(-1).float().numpy()          # (3P,)
-        logits = low.float().numpy()
-
-        stability = _stability_scores(logits, mask_threshold)
+            for i in range(0, pts.shape[1], ppb):
+                points = torch.from_numpy(pts[:, i:i + ppb])
+                labels = torch.ones(points.shape[:3], dtype=torch.int32)
+                out = sam_model(image_embeddings=emb_t, input_points=points,
+                                input_labels=labels, multimask_output=True)
+                low = out.pred_masks[0].reshape(
+                    -1, *out.pred_masks.shape[-2:])[:, None].float()
+                m = interp(low, size, size)[..., :new_h, :new_w]
+                mi = interp(m, orig_h, orig_w)[:, 0]
+                stab_l.append(_stability_scores(mi.numpy(), mask_threshold))
+                if (orig_h, orig_w) != (resolution, resolution):
+                    mi = interp(m, resolution, resolution)[:, 0]
+                cand_l.append((mi > mask_threshold).numpy())
+                iou_l.append(out.iou_scores[0].reshape(-1).float().numpy())
+        cand = np.concatenate(cand_l)[:3 * n_pts]
+        iou = np.concatenate(iou_l)[:3 * n_pts]
+        stability = np.concatenate(stab_l)[:3 * n_pts]
         keep = (iou >= iou_threshold) & (stability >= stability_thresh)
         if not keep.any():
             keep = iou >= iou.max() - 1e-6      # keep at least the best mask
-        low, iou = low[torch.from_numpy(keep)], iou[keep]
-
-        masks_t = torch.nn.functional.interpolate(
-            low[:, None].float(), size=(resolution, resolution),
-            mode="bilinear")[:, 0] > mask_threshold
-        cand = masks_t.numpy()
+        iou = iou[keep]
+        cand = cand[keep]
 
     nms_keep = _box_nms(_mask_boxes(cand), iou, box_nms_iou)
     cand = cand[nms_keep]

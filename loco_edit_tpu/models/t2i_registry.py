@@ -142,7 +142,10 @@ def load_if_bundle(args):
         bundle["superres"] = SuperResSampler(
             lambda x, t, c, aug_t: m2.apply(p2, x, t, c, aug_t),
             prompt_encoder, out_size=cfg2.sample_size,
-            guidance_scale=args.guidance_scale or 4.0,
+            # stage-2 CFG is its own knob: the reference upscales at the
+            # diffusers IFSuperResolutionPipeline default (4.0), not at the
+            # stage-1 --guidance_scale
+            guidance_scale=getattr(args, "stage2_guidance_scale", 4.0),
             aug_level=250,  # diffusers IFSuperResolutionPipeline default
             rng=RngStream.from_seed(args.seed))
     return bundle

@@ -67,9 +67,14 @@ def masked_mse(a: jnp.ndarray, b: jnp.ndarray,
 _lpips_cache: dict = {}
 
 
-def lpips(a: np.ndarray, b: np.ndarray, net: str = "alex",
+def lpips(a: np.ndarray, b: np.ndarray, net: str | None = None,
           weights_path: str | None = None) -> np.ndarray:
     """LPIPS; a, b: NHWC in [0,1].
+
+    net: backbone ("alex"/"vgg"). None (default) follows the checkpoint's
+    backbone on the weights path (alex on the torchmetrics fallback); an
+    explicit value is VALIDATED against the checkpoint — a mismatch raises
+    rather than silently scoring with the wrong network.
 
     Preferred path: the native Flax model (utils/lpips_flax.py) fed from a
     LOCAL torch checkpoint — pass `weights_path` or set LOCO_LPIPS_WEIGHTS to
@@ -87,6 +92,14 @@ def lpips(a: np.ndarray, b: np.ndarray, net: str = "alex",
             main, _, lin = weights_path.partition(":")
             metric = LPIPSMetric.from_torch_file(main, lin or None)
             _lpips_cache[weights_path] = metric
+        if net is not None and metric.net != net:
+            # silently returning alex distances for net="vgg" would corrupt
+            # reported metrics — the checkpoint decides the backbone, the
+            # caller must agree
+            raise ValueError(
+                f"LPIPS weights at {weights_path!r} are a {metric.net!r} "
+                f"backbone but net={net!r} was requested; pass "
+                f"net={metric.net!r} or point at a {net} checkpoint")
         return metric(np.asarray(a), np.asarray(b), normalize=True)
     try:
         import torch
@@ -96,7 +109,8 @@ def lpips(a: np.ndarray, b: np.ndarray, net: str = "alex",
             "LPIPS needs either a local weights file (set LOCO_LPIPS_WEIGHTS "
             "or pass weights_path; see utils/lpips_flax.py) or torchmetrics "
             "with pretrained weights; or use ssim/masked_mse") from e
-    metric = LearnedPerceptualImagePatchSimilarity(net_type=net, normalize=True)
+    metric = LearnedPerceptualImagePatchSimilarity(net_type=net or "alex",
+                                                   normalize=True)
     ta = torch.from_numpy(np.transpose(np.asarray(a, np.float32), (0, 3, 1, 2)))
     tb = torch.from_numpy(np.transpose(np.asarray(b, np.float32), (0, 3, 1, 2)))
     with torch.no_grad():

@@ -134,3 +134,20 @@ def test_global_pca_matches_exact_svd():
     np.testing.assert_allclose(np.asarray(s), s_[:3], rtol=1e-4)
     align = np.abs(np.sum(np.asarray(comps) * vt_[:3], axis=1))
     np.testing.assert_allclose(align, 1.0, atol=1e-4)
+
+
+def test_global_pca_chunk_pads_non_divisor_populations():
+    """chunk that does not divide N must still chunk (padded lax.map), not
+    silently fall back to one full vmap, and must give the same PCA."""
+    from loco_edit_tpu.editing.hspace import global_pca_h
+
+    rng = np.random.default_rng(5)
+    w = rng.normal(size=(4 * 4 * 3, 7)).astype(np.float32)
+    h_fn = lambda z: jnp.tanh(z.reshape(1, -1) @ jnp.asarray(w))
+    xs = jnp.asarray(rng.normal(size=(10, 4, 4, 3)).astype(np.float32))
+
+    s_c, comps_c = global_pca_h(h_fn, xs, rank=3, chunk=4)   # 10 % 4 != 0
+    s_f, comps_f = global_pca_h(h_fn, xs, rank=3, chunk=0)
+    np.testing.assert_allclose(np.asarray(s_c), np.asarray(s_f), rtol=1e-4)
+    align = np.abs(np.sum(np.asarray(comps_c) * np.asarray(comps_f), axis=1))
+    np.testing.assert_allclose(align, 1.0, atol=1e-4)

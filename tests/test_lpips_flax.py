@@ -233,3 +233,23 @@ def test_lpips_zero_distance_and_normalize():
     x = rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32)
     d = np.asarray(model.apply(variables, x, x))
     np.testing.assert_allclose(d, 0.0, atol=1e-6)
+
+
+def test_lpips_net_mismatch_raises(tmp_path):
+    """metrics.lpips with an explicit net that contradicts the checkpoint's
+    backbone must raise, not silently score with the wrong network."""
+    from loco_edit_tpu.utils import metrics
+
+    rng = np.random.default_rng(6)
+    sd = _make_alex_sd(rng)
+    sd.update(_make_lins(rng, (64, 192, 384, 256, 256)))
+    ckpt = tmp_path / "lpips_alex.pt"
+    torch.save(sd, ckpt)
+
+    a = rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+    with pytest.raises(ValueError, match="alex.*vgg|vgg.*alex"):
+        metrics.lpips(a, a, net="vgg", weights_path=str(ckpt))
+    # net=None and the matching explicit net both work
+    assert abs(float(metrics.lpips(a, a, weights_path=str(ckpt))[0])) < 1e-6
+    assert abs(float(metrics.lpips(a, a, net="alex",
+                                   weights_path=str(ckpt))[0])) < 1e-6
