@@ -149,6 +149,12 @@ def segment_image_flax_encoder(
     )
 
     cfg = config_from_hf(sam_model.config.vision_config)
+    if cfg.block_structure is not None and flax_params is None:
+        # scan the [windowed*K, global] blocks: one compiled layer body
+        # instead of 24+ unrolled layers — flat compile time at vit-large
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, scan_blocks=True)
     if flax_params is None:
         sd = {k: v.numpy() for k, v in sam_model.vision_encoder.state_dict().items()}
         flax_params = convert_sam_vision_state_dict(sd, cfg)

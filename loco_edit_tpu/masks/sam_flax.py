@@ -43,11 +43,30 @@ class SamViTConfig:
     global_attn_indexes: tuple[int, ...] = (5, 11, 17, 23)
     output_channels: int = 256
     layer_norm_eps: float = 1e-6
+    # scan over the repeated [windowed x K, global] blocks instead of
+    # unrolling all layers: the compiled HLO contains ONE block body, so
+    # compile time/size stays flat with depth (the 24-layer unrolled
+    # vit-large graph overwhelms slow compile services). Identical numerics
+    # (tested); requires the uniform block structure all SAM ViTs have.
+    scan_blocks: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @property
     def grid(self) -> int:
         return self.image_size // self.patch_size
+
+    @property
+    def block_structure(self) -> tuple[int, int] | None:
+        """(n_blocks, windowed_per_block) when layers form uniform
+        [windowed*K, global] blocks (true for SAM vit-base/large/huge),
+        else None."""
+        g = self.global_attn_indexes
+        if not g or self.num_layers % len(g):
+            return None
+        block = self.num_layers // len(g)
+        if tuple((i + 1) * block - 1 for i in range(len(g))) != tuple(g):
+            return None
+        return len(g), block - 1
 
 
 VIT_LARGE = SamViTConfig()
@@ -153,6 +172,34 @@ class SamVisionLayer(nn.Module):
         return x + h
 
 
+class _ScanLayer(nn.Module):
+    """(carry, _) adapter around SamVisionLayer for nn.scan."""
+
+    cfg: SamViTConfig
+    windowed: bool
+
+    @nn.compact
+    def __call__(self, x, _):
+        return SamVisionLayer(self.cfg, self.windowed, name="layer")(x), None
+
+
+class _ScanBlock(nn.Module):
+    """One [windowed x K, global] block; the outer scan stacks these, the
+    inner scan stacks the K identical windowed layers, so the compiled HLO
+    holds exactly one windowed and one global layer body."""
+
+    cfg: SamViTConfig
+    windowed_per_block: int
+
+    @nn.compact
+    def __call__(self, x, _):
+        inner = nn.scan(_ScanLayer, variable_axes={"params": 0},
+                        split_rngs={"params": True},
+                        length=self.windowed_per_block)
+        x, _ = inner(self.cfg, True, name="windowed")(x, None)
+        return SamVisionLayer(self.cfg, False, name="global")(x), None
+
+
 class SamViTEncoder(nn.Module):
     """pixel_values: (B, image_size, image_size, 3), SAM-normalized.
     Returns (B, grid, grid, output_channels) image embeddings."""
@@ -169,9 +216,22 @@ class SamViTEncoder(nn.Module):
         pos = self.param("pos_embed", nn.initializers.zeros,
                          (1, cfg.grid, cfg.grid, cfg.hidden_size), jnp.float32)
         h = h + pos.astype(h.dtype)
-        for i in range(cfg.num_layers):
-            h = SamVisionLayer(cfg, windowed=i not in cfg.global_attn_indexes,
-                               name=f"layer_{i}")(h)
+        if cfg.scan_blocks:
+            struct = cfg.block_structure
+            if struct is None:
+                raise ValueError(
+                    "scan_blocks requires uniform [windowed*K, global] "
+                    f"blocks; got {cfg.num_layers} layers with globals at "
+                    f"{cfg.global_attn_indexes}")
+            n_blocks, per_w = struct
+            outer = nn.scan(_ScanBlock, variable_axes={"params": 0},
+                            split_rngs={"params": True}, length=n_blocks)
+            h, _ = outer(cfg, per_w, name="blocks")(h, None)
+        else:
+            for i in range(cfg.num_layers):
+                h = SamVisionLayer(
+                    cfg, windowed=i not in cfg.global_attn_indexes,
+                    name=f"layer_{i}")(h)
         # neck (convs bias-free, channel LayerNorms)
         h = nn.Conv(cfg.output_channels, (1, 1), use_bias=False,
                     dtype=cfg.dtype, param_dtype=jnp.float32,
@@ -233,9 +293,9 @@ def convert_sam_vision_state_dict(sd: Mapping[str, np.ndarray],
             tr["neck.conv2.weight"].transpose(2, 3, 1, 0))},
         "neck_ln2": lnp("neck.layer_norm2"),
     }
-    for i in range(cfg.num_layers):
+    def layer_params(i: int) -> dict:
         b = f"layers.{i}"
-        p[f"layer_{i}"] = {
+        return {
             "layer_norm1": lnp(f"{b}.layer_norm1"),
             "layer_norm2": lnp(f"{b}.layer_norm2"),
             "attn": {
@@ -247,5 +307,27 @@ def convert_sam_vision_state_dict(sd: Mapping[str, np.ndarray],
             "mlp_lin1": lin(f"{b}.mlp.lin1"),
             "mlp_lin2": lin(f"{b}.mlp.lin2"),
         }
+
+    if cfg.scan_blocks:
+        struct = cfg.block_structure
+        if struct is None:
+            raise ValueError("scan_blocks conversion needs uniform blocks")
+        n_blocks, per_w = struct
+        import jax
+
+        def stack(trees):
+            return jax.tree.map(lambda *xs: np.stack(xs), *trees)
+
+        p["blocks"] = {
+            # (n_blocks, per_w, ...) windowed stacks, (n_blocks, ...) globals
+            "windowed": {"layer": stack([
+                stack([layer_params(b * (per_w + 1) + j)
+                       for j in range(per_w)]) for b in range(n_blocks)])},
+            "global": stack([layer_params((b + 1) * (per_w + 1) - 1)
+                             for b in range(n_blocks)]),
+        }
+    else:
+        for i in range(cfg.num_layers):
+            p[f"layer_{i}"] = layer_params(i)
     tr.check("SAM vision encoder")
     return {"params": p}

@@ -150,3 +150,45 @@ def test_segment_image_flax_encoder_end_to_end():
         iou_threshold=-1e9)
     assert masks.ndim == 3 and masks.shape[1:] == (16, 16)
     assert masks.dtype == bool
+
+
+def test_scan_blocks_encoder_matches_unrolled():
+    """scan_blocks=True (layer blocks via nn.scan, flat compile size) is
+    numerically identical to the unrolled golden-tested encoder, from the
+    same torch state_dict."""
+    torch = pytest.importorskip("torch")
+    import dataclasses
+
+    from transformers import SamVisionConfig
+    from transformers.models.sam.modeling_sam import SamVisionEncoder
+
+    hf_cfg = SamVisionConfig(
+        hidden_size=32, num_hidden_layers=4, num_attention_heads=2,
+        image_size=32, patch_size=8, window_size=2,
+        global_attn_indexes=[1, 3], mlp_ratio=2.0, output_channels=16,
+        attn_implementation="eager")
+    torch.manual_seed(1)
+    enc = SamVisionEncoder(hf_cfg).eval()
+    with torch.no_grad():
+        for p in enc.parameters():
+            p.add_(torch.randn_like(p) * 0.05)
+    sd = {k: v.numpy() for k, v in enc.state_dict().items()}
+
+    cfg = config_from_hf(hf_cfg)
+    assert cfg.block_structure == (2, 1)
+    cfg_scan = dataclasses.replace(cfg, scan_blocks=True)
+
+    x = np.random.default_rng(4).normal(size=(1, 32, 32, 3)).astype(np.float32)
+    want = np.asarray(SamViTEncoder(cfg).apply(
+        jax.tree.map(jnp.asarray, convert_sam_vision_state_dict(sd, cfg)),
+        jnp.asarray(x)))
+    got = np.asarray(SamViTEncoder(cfg_scan).apply(
+        jax.tree.map(jnp.asarray, convert_sam_vision_state_dict(sd, cfg_scan)),
+        jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+    # non-uniform structure must be rejected, not silently mis-stacked
+    bad = dataclasses.replace(cfg_scan, global_attn_indexes=(0, 3))
+    assert bad.block_structure is None
+    with pytest.raises(ValueError, match="uniform"):
+        convert_sam_vision_state_dict(sd, bad)
