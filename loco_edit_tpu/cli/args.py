@@ -71,6 +71,10 @@ def parse_args(argv=None):
     # diffusion schedule
     add("--for_steps", type=int, default=100)
     add("--inv_steps", type=int, default=100)
+    # >0: per-step fixed-point refinement toward the exact DDIM inverse
+    # (AIDI/ReNoise-family technique; 0 = the reference's explicit
+    # approximation). Costs inv_refine_steps extra eps evals per step.
+    add("--inv_refine_steps", type=int, default=0)
     add("--performance_boosting_t", type=float, default=0.0)
     add("--use_yh_custom_scheduler", type=str2bool, default=True)
     add("--noise_schedule", type=str, default="linear")

@@ -38,6 +38,7 @@ def build_uncond_pipeline(args):
     cfg = UncondEditConfig(
         for_steps=args.for_steps,
         inv_steps=args.inv_steps,
+        inv_refine_steps=args.inv_refine_steps,
         edit_t=args.edit_t,
         performance_boosting_t=args.performance_boosting_t,
         x_space_guidance_scale=args.x_space_guidance_scale,
@@ -235,6 +236,7 @@ def _main_t2i(args):
         b = load_sd_bundle(args)
         cfg = SDEditConfig(
             for_steps=args.for_steps, inv_steps=args.inv_steps,
+            inv_refine_steps=args.inv_refine_steps,
             edit_t=args.edit_t, guidance_scale=args.guidance_scale,
             guidance_scale_edit=args.guidance_scale_edit,
             x_space_guidance_scale=args.x_space_guidance_scale,

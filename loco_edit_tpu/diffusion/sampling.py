@@ -77,9 +77,43 @@ def ddim_generate(eps_fn: EpsFn, xt: jnp.ndarray, grid: TimestepGrid, *,
     return ddim_scan(eps_fn, xt, sub, eta=e, rng_key=rng_key)
 
 
-def ddim_invert(eps_fn: EpsFn, x0: jnp.ndarray, grid: TimestepGrid) -> jnp.ndarray:
+def ddim_invert(eps_fn: EpsFn, x0: jnp.ndarray, grid: TimestepGrid, *,
+                refine_steps: int = 0) -> jnp.ndarray:
     """DDIM inversion x0 -> xT over an inversion grid (always deterministic);
-    the reference's `run_DDIMinversion` loop (src/modules/edit.py:2116-2167)."""
+    the reference's `run_DDIMinversion` loop (src/modules/edit.py:2116-2167).
+
+    refine_steps > 0 turns each step into a fixed-point iteration on the
+    implicit exact-inversion equation (the AIDI / ReNoise family of
+    techniques; the reference — and refine_steps=0 — uses the standard
+    explicit approximation eps(x_t, t)): after the explicit step produces a
+    candidate x', the eps the FORWARD pass will actually use at x' (queried
+    at the noisier grid timestep t_next, which is where the matched
+    generation grid evaluates it) replaces the approximation and the update
+    re-runs from x_t. Each iteration costs one extra eps eval per step; at
+    convergence the later generation pass retraces the inversion exactly,
+    so edits sit on a trajectory that reconstructs the input image."""
     if not grid.is_inversion:
         raise ValueError("ddim_invert expects an inversion grid")
-    return ddim_scan(eps_fn, x0, grid)
+    if refine_steps == 0:
+        return ddim_scan(eps_fn, x0, grid)
+
+    xs = {
+        "t": jnp.asarray(grid.t),
+        "t_next": jnp.asarray(grid.t_next),
+        "ab": jnp.asarray(grid.alpha_bar),
+        "ab_next": jnp.asarray(grid.alpha_bar_next),
+    }
+
+    def body(x, s):
+        et = eps_fn(x, s["t"])
+        x1, _ = ddim_step(x, et, s["ab"], s["ab_next"])
+
+        def refine(_, x1):
+            et = eps_fn(x1, s["t_next"])
+            x1, _ = ddim_step(x, et, s["ab"], s["ab_next"])
+            return x1
+
+        return jax.lax.fori_loop(0, refine_steps, refine, x1), None
+
+    x_final, _ = jax.lax.scan(body, x0, xs)
+    return x_final

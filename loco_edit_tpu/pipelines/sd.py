@@ -38,6 +38,8 @@ from loco_edit_tpu.utils.io import save_image_grid
 class SDEditConfig:
     for_steps: int = 100
     inv_steps: int = 100
+    # fixed-point exact-inversion refinement per step (0 = reference-exact)
+    inv_refine_steps: int = 0
     edit_t: float = 0.7
     guidance_scale: float = 7.5
     guidance_scale_edit: float = 4.0
@@ -140,8 +142,12 @@ class SDEditPipeline:
         f = lambda z, t, p=prompts: cfg_eps(  # noqa: E731
             self.unet_apply, z, t, p, "null+(for-null)",
             self.cfg.guidance_scale, enabled=False)
-        fn = self._jit(("inv", z0.shape[0], inv_prompt),
-                       lambda: jax.jit(lambda z: ddim_scan(f, z, self.inv_grid)))
+        from loco_edit_tpu.diffusion.sampling import ddim_invert
+
+        r = int(getattr(self.cfg, "inv_refine_steps", 0))
+        fn = self._jit(("inv", z0.shape[0], inv_prompt, r),
+                       lambda: jax.jit(lambda z: ddim_invert(
+                           f, z, self.inv_grid, refine_steps=r)))
         return fn(z0)
 
     def decode_to_image(self, z) -> np.ndarray:

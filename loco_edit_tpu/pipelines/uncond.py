@@ -43,6 +43,8 @@ from loco_edit_tpu.utils.io import save_image_grid
 class UncondEditConfig:
     for_steps: int = 100
     inv_steps: int = 100
+    # fixed-point exact-inversion refinement per step (0 = reference-exact)
+    inv_refine_steps: int = 0
     edit_t: float = 0.6
     performance_boosting_t: float = 0.2
     # x-space guidance (reference preset: uncond scale dict keyed by h_t,
@@ -91,8 +93,10 @@ class UncondEditPipeline:
         return self._jit_cache[name]
 
     def invert(self, x0: jnp.ndarray) -> jnp.ndarray:
-        fn = self._jit("invert", lambda: jax.jit(
-            lambda x: ddim_invert(self.denoiser.eps_fn, x, self.inv_grid)))
+        r = int(getattr(self.cfg, "inv_refine_steps", 0))
+        fn = self._jit(("invert", r), lambda: jax.jit(
+            lambda x: ddim_invert(self.denoiser.eps_fn, x, self.inv_grid,
+                                  refine_steps=r)))
         return fn(jnp.asarray(x0))
 
     def generate(self, xt: jnp.ndarray, start_idx: int = 0,
