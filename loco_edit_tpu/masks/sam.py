@@ -101,9 +101,51 @@ def _box_nms(boxes: np.ndarray, scores: np.ndarray, iou: float) -> np.ndarray:
     return np.asarray(keep, np.int64)
 
 
+class SamFlaxBundle:
+    """Converted SAM params + configs, reusable across segment calls (the
+    serve path converts once and segments many times)."""
+
+    def __init__(self, cfg, dcfg, enc_params, dec_params):
+        self.cfg, self.dcfg = cfg, dcfg
+        self.enc_params, self.dec_params = enc_params, dec_params
+
+
+def prepare_sam_flax(sam_model) -> SamFlaxBundle:
+    """Convert a transformers SamModel into device-resident Flax params
+    (scan-blocks encoder when the layer structure allows)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from loco_edit_tpu.masks.sam_decoder_flax import (
+        convert_sam_decoder_state_dict,
+        decoder_config_from_hf,
+    )
+    from loco_edit_tpu.masks.sam_flax import (
+        config_from_hf,
+        convert_sam_vision_state_dict,
+    )
+
+    cfg = config_from_hf(sam_model.config.vision_config)
+    if cfg.block_structure is not None:
+        # scan the [windowed*K, global] blocks: one compiled layer body
+        # instead of 24+ unrolled layers — flat compile time at vit-large
+        cfg = dataclasses.replace(cfg, scan_blocks=True)
+    sd = {k: v.numpy() for k, v in sam_model.state_dict().items()}
+    enc_sd = {k: v for k, v in sd.items() if k.startswith("vision_encoder.")}
+    dcfg = decoder_config_from_hf(sam_model.config)
+    # device arrays, not host numpy: numpy leaves indexed by tracers inside
+    # jit would trip TracerArrayConversionError
+    return SamFlaxBundle(
+        cfg, dcfg,
+        jax.tree.map(jnp.asarray, convert_sam_vision_state_dict(enc_sd, cfg)),
+        jax.tree.map(jnp.asarray, convert_sam_decoder_state_dict(sd, dcfg)))
+
+
 def segment_image_flax_encoder(
-    image_uint8: np.ndarray, sam_model, *, flax_params=None,
-    decoder_params=None, use_flax_decoder: bool = True,
+    image_uint8: np.ndarray, sam_model, *, prepared: SamFlaxBundle | None = None,
+    use_flax_decoder: bool = True,
     points_per_side: int = 32, points_per_batch: int = 64,
     filter_mask: int = 100, resolution: int = 256,
     iou_threshold: float = 0.88, dedup_iou: float = 0.9,
@@ -112,9 +154,9 @@ def segment_image_flax_encoder(
     """Mask generation with SAM on the accelerator.
 
     sam_model: a transformers SamModel (host, eval mode, the weight source);
-    flax_params / decoder_params: its vision encoder / prompt+mask decoder
-    converted via convert_sam_{vision,decoder}_state_dict (built on first
-    call if None). Returns (N, resolution, resolution) boolean masks.
+    prepared: a `prepare_sam_flax(sam_model)` bundle to skip re-conversion
+    across calls (built on the fly if None). Returns
+    (N, resolution, resolution) boolean masks.
 
     With use_flax_decoder (default) the model runs jitted on the
     accelerator — encoder once, then the point grid through the two-way
@@ -142,22 +184,12 @@ def segment_image_flax_encoder(
     import jax
     import jax.numpy as jnp
 
-    from loco_edit_tpu.masks.sam_flax import (
-        SamViTEncoder,
-        config_from_hf,
-        convert_sam_vision_state_dict,
-    )
+    from loco_edit_tpu.masks.sam_flax import SamViTEncoder
 
-    cfg = config_from_hf(sam_model.config.vision_config)
-    if cfg.block_structure is not None and flax_params is None:
-        # scan the [windowed*K, global] blocks: one compiled layer body
-        # instead of 24+ unrolled layers — flat compile time at vit-large
-        import dataclasses
-
-        cfg = dataclasses.replace(cfg, scan_blocks=True)
-    if flax_params is None:
-        sd = {k: v.numpy() for k, v in sam_model.vision_encoder.state_dict().items()}
-        flax_params = convert_sam_vision_state_dict(sd, cfg)
+    if prepared is None:
+        prepared = prepare_sam_flax(sam_model)
+    cfg = prepared.cfg
+    flax_params = prepared.enc_params
 
     size = cfg.image_size
     orig_h, orig_w = image_uint8.shape[:2]
@@ -185,20 +217,10 @@ def segment_image_flax_encoder(
         pts = np.concatenate([pts, np.repeat(pts[:, :1], n_pad, 1)], axis=1)
 
     if use_flax_decoder:
-        from loco_edit_tpu.masks.sam_decoder_flax import (
-            SamMaskDecodeModel,
-            convert_sam_decoder_state_dict,
-            decoder_config_from_hf,
-        )
+        from loco_edit_tpu.masks.sam_decoder_flax import SamMaskDecodeModel
 
-        dcfg = decoder_config_from_hf(sam_model.config)
-        if decoder_params is None:
-            sd = {k: v.numpy() for k, v in sam_model.state_dict().items()}
-            decoder_params = convert_sam_decoder_state_dict(sd, dcfg)
-        # device arrays, not host numpy: numpy leaves indexed by tracers
-        # inside jit would trip TracerArrayConversionError
-        flax_params = jax.tree.map(jnp.asarray, flax_params)
-        decoder_params = jax.tree.map(jnp.asarray, decoder_params)
+        dcfg = prepared.dcfg
+        decoder_params = prepared.dec_params
 
         encode = jax.jit(lambda px: SamViTEncoder(cfg).apply(flax_params, px))
 

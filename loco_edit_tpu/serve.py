@@ -13,6 +13,8 @@ scale-out is one process per chip behind any HTTP balancer.
                  "pca_rank": int?, "sample_name": str?}
              -> {"strips": {pc: <b64 f32 bytes>}, "shape": [...], "secs": float}
   POST /invert  {"image": <b64>} -> {"xT": <b64>, "shape": [...]}
+  POST /segment {"image": <b64>, "filter_mask": int?, "points_per_side": int?}
+             -> {"masks": <b64 uint8 (N, H, W)>, "shape": [...]}   (all-TPU SAM)
   GET  /health  -> {"ok": true, "edits_served": n}
 
 Run: python -m loco_edit_tpu.serve --model_name FFHQ_P2 \
@@ -48,6 +50,21 @@ class EditService:
         self.pipe, self.denoiser, self.rng = build_uncond_pipeline(args)
         self.lock = threading.Lock()
         self.edits_served = 0
+        self._args = args
+        self._sam = None        # (model, SamFlaxBundle), loaded on first use
+
+    def _sam_bundle(self):
+        if self._sam is None:
+            from transformers import SamModel
+
+            from loco_edit_tpu.masks.sam import prepare_sam_flax
+
+            model = SamModel.from_pretrained(
+                self._args.mask_model_name,
+                cache_dir=getattr(self._args, "cache_folder", None) or None,
+            ).eval()
+            self._sam = (model, prepare_sam_flax(model))
+        return self._sam
 
     def _resolve_input(self, req: dict):
         import jax
@@ -117,6 +134,24 @@ class EditService:
             xT = np.asarray(self.pipe.invert(x0))
         return {"xT": _b64(xT), "shape": list(xT.shape)}
 
+    def segment(self, req: dict) -> dict:
+        """All-TPU SAM mask proposals for an edit-frame image (params are
+        converted once and kept warm, like the edit pipeline)."""
+        from loco_edit_tpu.masks.sam import segment_image_flax_encoder
+        from loco_edit_tpu.utils.io import to_uint8
+
+        h, w, c = self.denoiser.sample_shape
+        x0 = _unb64(req["image"], (1, h, w, c))
+        with self.lock:
+            model, bundle = self._sam_bundle()
+            masks = segment_image_flax_encoder(
+                to_uint8(x0)[0], model, prepared=bundle, resolution=h,
+                filter_mask=int(req.get("filter_mask", 100)),
+                points_per_side=int(req.get("points_per_side", 32)))
+        payload = base64.b64encode(
+            np.ascontiguousarray(masks, np.uint8).tobytes()).decode()
+        return {"masks": payload, "shape": list(masks.shape)}
+
     def health(self) -> dict:
         return {"ok": True, "edits_served": self.edits_served}
 
@@ -144,6 +179,8 @@ def make_server(service: EditService, port: int = 8787) -> ThreadingHTTPServer:
                     return self._send(200, service.edit(req))
                 if self.path == "/invert":
                     return self._send(200, service.invert(req))
+                if self.path == "/segment":
+                    return self._send(200, service.segment(req))
                 return self._send(404, {"error": "unknown path"})
             except Exception as e:  # noqa: BLE001 — report, keep serving
                 return self._send(500, {"error": str(e)})

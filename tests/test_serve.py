@@ -102,3 +102,32 @@ def test_invert_endpoint_and_errors(server):
         assert e.code == 500
     with urllib.request.urlopen(base + "/health", timeout=30) as r:
         assert json.loads(r.read())["ok"]
+
+
+def test_segment_endpoint_all_tpu_sam(server, tmp_path):
+    """/segment serves warm all-Flax SAM mask proposals; the converted
+    bundle is cached on the service across requests."""
+    import base64
+
+    base, service = server
+    from tests.test_sam_decoder_flax import _tiny_torch_sam
+
+    _, _, model = _tiny_torch_sam()
+    mdir = tmp_path / "tiny-sam"
+    model.save_pretrained(mdir)
+    service._args.mask_model_name = str(mdir)
+
+    img = np.random.default_rng(9).uniform(
+        -1, 1, size=(1, 32, 32, 3)).astype(np.float32)
+    payload = base64.b64encode(img.tobytes()).decode()
+    status, out = _post(base + "/segment", {
+        "image": payload, "filter_mask": 0, "points_per_side": 4})
+    assert status == 200
+    masks = np.frombuffer(base64.b64decode(out["masks"]),
+                          np.uint8).reshape(out["shape"]).astype(bool)
+    assert masks.ndim == 3 and masks.shape[1:] == (32, 32)
+    assert service._sam is not None  # bundle cached for the next request
+
+    status2, out2 = _post(base + "/segment", {
+        "image": payload, "filter_mask": 0, "points_per_side": 4})
+    assert status2 == 200 and out2["shape"] == out["shape"]
