@@ -103,11 +103,19 @@ def _box_nms(boxes: np.ndarray, scores: np.ndarray, iou: float) -> np.ndarray:
 
 class SamFlaxBundle:
     """Converted SAM params + configs, reusable across segment calls (the
-    serve path converts once and segments many times)."""
+    serve path converts once and segments many times). Carries a jit cache
+    keyed by call geometry, so repeat segmentations reuse the compiled
+    encoder/decoder programs instead of re-tracing them."""
 
     def __init__(self, cfg, dcfg, enc_params, dec_params):
         self.cfg, self.dcfg = cfg, dcfg
         self.enc_params, self.dec_params = enc_params, dec_params
+        self.jit_cache: dict = {}
+
+    def jitted(self, key, build):
+        if key not in self.jit_cache:
+            self.jit_cache[key] = build()
+        return self.jit_cache[key]
 
 
 def prepare_sam_flax(sam_model) -> SamFlaxBundle:
@@ -127,10 +135,16 @@ def prepare_sam_flax(sam_model) -> SamFlaxBundle:
         convert_sam_vision_state_dict,
     )
 
+    import os
+
     cfg = config_from_hf(sam_model.config.vision_config)
-    if cfg.block_structure is not None:
-        # scan the [windowed*K, global] blocks: one compiled layer body
-        # instead of 24+ unrolled layers — flat compile time at vit-large
+    # scan the [windowed*K, global] blocks: one compiled layer body instead
+    # of 24+ unrolled layers — flat compile time at vit-large under normal
+    # local XLA. LOCO_SAM_SCAN=0 opts out (measured: the axon remote-compile
+    # service in this dev environment compiles the unrolled program at ~30 s
+    # per layer but stalls out on the scanned one).
+    if cfg.block_structure is not None and os.environ.get(
+            "LOCO_SAM_SCAN", "1") != "0":
         cfg = dataclasses.replace(cfg, scan_blocks=True)
     sd = {k: v.numpy() for k, v in sam_model.state_dict().items()}
     enc_sd = {k: v for k, v in sd.items() if k.startswith("vision_encoder.")}
@@ -144,7 +158,8 @@ def prepare_sam_flax(sam_model) -> SamFlaxBundle:
 
 
 def segment_image_flax_encoder(
-    image_uint8: np.ndarray, sam_model, *, prepared: SamFlaxBundle | None = None,
+    image_uint8: np.ndarray, sam_model=None, *,
+    prepared: SamFlaxBundle | None = None,
     use_flax_decoder: bool = True,
     points_per_side: int = 32, points_per_batch: int = 64,
     filter_mask: int = 100, resolution: int = 256,
@@ -155,7 +170,9 @@ def segment_image_flax_encoder(
 
     sam_model: a transformers SamModel (host, eval mode, the weight source);
     prepared: a `prepare_sam_flax(sam_model)` bundle to skip re-conversion
-    across calls (built on the fly if None). Returns
+    across calls (built on the fly if None). With a prepared bundle and the
+    flax decoder, sam_model may be None — the torch model is not needed at
+    all (the serve path drops it after conversion). Returns
     (N, resolution, resolution) boolean masks.
 
     With use_flax_decoder (default) the model runs jitted on the
@@ -187,7 +204,11 @@ def segment_image_flax_encoder(
     from loco_edit_tpu.masks.sam_flax import SamViTEncoder
 
     if prepared is None:
+        if sam_model is None:
+            raise ValueError("need sam_model or a prepare_sam_flax bundle")
         prepared = prepare_sam_flax(sam_model)
+    if not use_flax_decoder and sam_model is None:
+        raise ValueError("the torch-decode fallback needs sam_model")
     cfg = prepared.cfg
     flax_params = prepared.enc_params
 
@@ -222,28 +243,37 @@ def segment_image_flax_encoder(
         dcfg = prepared.dcfg
         decoder_params = prepared.dec_params
 
-        encode = jax.jit(lambda px: SamViTEncoder(cfg).apply(flax_params, px))
+        encode = prepared.jitted("encode", lambda: jax.jit(
+            lambda px: SamViTEncoder(cfg).apply(flax_params, px)))
 
         def _resize(m, h, w):
             # torch F.interpolate(bilinear) semantics: half-pixel, no AA
             return jax.image.resize(m, (m.shape[0], h, w), "bilinear",
                                     antialias=False)
 
-        @jax.jit
-        def decode_batch(emb, points, labels):
-            m, s = SamMaskDecodeModel(dcfg).apply(
-                decoder_params, emb, points=points, labels=labels)
-            m = m.reshape(-1, *m.shape[-2:])  # (3*ppb, h, w) low-res logits
-            # HF post_process_masks: low-res -> padded frame -> crop -> image
-            m = _resize(m, size, size)[:, :new_h, :new_w]
-            mi = _resize(m, orig_h, orig_w)
-            # stability score on the image-frame logits (filter_masks order)
-            hi = (mi > mask_threshold + 1.0).sum((1, 2)).astype(jnp.float32)
-            lo = (mi > mask_threshold - 1.0).sum((1, 2)).astype(jnp.float32)
-            stab = jnp.where(lo > 0, hi / jnp.maximum(lo, 1.0), 0.0)
-            if (orig_h, orig_w) != (resolution, resolution):
-                mi = _resize(m, resolution, resolution)
-            return mi > mask_threshold, s.reshape(-1), stab
+        def build_decode():
+            @jax.jit
+            def decode_batch(emb, points, labels):
+                m, s = SamMaskDecodeModel(dcfg).apply(
+                    decoder_params, emb, points=points, labels=labels)
+                m = m.reshape(-1, *m.shape[-2:])  # (3*ppb, h, w) low logits
+                # HF post_process_masks: low-res -> padded frame -> crop ->
+                # image frame
+                m = _resize(m, size, size)[:, :new_h, :new_w]
+                mi = _resize(m, orig_h, orig_w)
+                # stability on the image-frame logits (filter_masks order)
+                hi = (mi > mask_threshold + 1.0).sum((1, 2)).astype(jnp.float32)
+                lo = (mi > mask_threshold - 1.0).sum((1, 2)).astype(jnp.float32)
+                stab = jnp.where(lo > 0, hi / jnp.maximum(lo, 1.0), 0.0)
+                if (orig_h, orig_w) != (resolution, resolution):
+                    mi = _resize(m, resolution, resolution)
+                return mi > mask_threshold, s.reshape(-1), stab
+
+            return decode_batch
+
+        decode_batch = prepared.jitted(
+            ("decode", ppb, new_h, new_w, orig_h, orig_w, resolution,
+             mask_threshold), build_decode)
 
         emb = encode(jnp.asarray(x[None]))
         parts = []
@@ -251,15 +281,10 @@ def segment_image_flax_encoder(
             batch = jnp.asarray(pts[:, i:i + ppb])
             parts.append(decode_batch(
                 emb, batch, jnp.ones(batch.shape[:3], jnp.int32)))
-        masks_b = np.concatenate([np.asarray(p[0]) for p in parts])[:3 * n_pts]
+        cand = np.concatenate([np.asarray(p[0]) for p in parts])[:3 * n_pts]
         iou = np.concatenate([np.asarray(p[1]) for p in parts])[:3 * n_pts]
         stability = np.concatenate(
             [np.asarray(p[2]) for p in parts])[:3 * n_pts]
-        keep = (iou >= iou_threshold) & (stability >= stability_thresh)
-        if not keep.any():
-            keep = iou >= iou.max() - 1e-6      # keep at least the best mask
-        iou = iou[keep]
-        cand = masks_b[keep]
     else:
         import torch
 
@@ -290,11 +315,14 @@ def segment_image_flax_encoder(
         cand = np.concatenate(cand_l)[:3 * n_pts]
         iou = np.concatenate(iou_l)[:3 * n_pts]
         stability = np.concatenate(stab_l)[:3 * n_pts]
-        keep = (iou >= iou_threshold) & (stability >= stability_thresh)
-        if not keep.any():
-            keep = iou >= iou.max() - 1e-6      # keep at least the best mask
-        iou = iou[keep]
-        cand = cand[keep]
+
+    # shared filter semantics for both backends (pred-IoU + stability, with
+    # the keep-at-least-one fallback)
+    keep = (iou >= iou_threshold) & (stability >= stability_thresh)
+    if not keep.any():
+        keep = iou >= iou.max() - 1e-6          # keep at least the best mask
+    iou = iou[keep]
+    cand = cand[keep]
 
     nms_keep = _box_nms(_mask_boxes(cand), iou, box_nms_iou)
     cand = cand[nms_keep]

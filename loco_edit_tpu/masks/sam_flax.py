@@ -64,6 +64,8 @@ class SamViTConfig:
         if not g or self.num_layers % len(g):
             return None
         block = self.num_layers // len(g)
+        if block < 2:  # all-global: no windowed layers to scan over
+            return None
         if tuple((i + 1) * block - 1 for i in range(len(g))) != tuple(g):
             return None
         return len(g), block - 1

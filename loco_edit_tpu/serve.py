@@ -51,7 +51,7 @@ class EditService:
         self.lock = threading.Lock()
         self.edits_served = 0
         self._args = args
-        self._sam = None        # (model, SamFlaxBundle), loaded on first use
+        self._sam = None        # SamFlaxBundle, converted on first use
 
     def _sam_bundle(self):
         if self._sam is None:
@@ -63,7 +63,9 @@ class EditService:
                 self._args.mask_model_name,
                 cache_dir=getattr(self._args, "cache_folder", None) or None,
             ).eval()
-            self._sam = (model, prepare_sam_flax(model))
+            # only the converted Flax bundle is kept warm — the ~1.2 GB
+            # torch model is dropped right after conversion
+            self._sam = prepare_sam_flax(model)
         return self._sam
 
     def _resolve_input(self, req: dict):
@@ -143,9 +145,8 @@ class EditService:
         h, w, c = self.denoiser.sample_shape
         x0 = _unb64(req["image"], (1, h, w, c))
         with self.lock:
-            model, bundle = self._sam_bundle()
             masks = segment_image_flax_encoder(
-                to_uint8(x0)[0], model, prepared=bundle, resolution=h,
+                to_uint8(x0)[0], prepared=self._sam_bundle(), resolution=h,
                 filter_mask=int(req.get("filter_mask", 100)),
                 points_per_side=int(req.get("points_per_side", 32)))
         payload = base64.b64encode(
