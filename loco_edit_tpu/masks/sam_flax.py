@@ -186,20 +186,25 @@ class _ScanLayer(nn.Module):
 
 
 class _ScanBlock(nn.Module):
-    """One [windowed x K, global] block; the outer scan stacks these, the
-    inner scan stacks the K identical windowed layers, so the compiled HLO
-    holds exactly one windowed and one global layer body."""
+    """One [windowed x K, global] block: the K identical windowed layers run
+    as a single-level nn.scan (one compiled body), the global layer unrolled.
+    The encoder python-loops over blocks, so the HLO holds n_blocks windowed
+    bodies + n_blocks global layers (8 for vit-large) instead of 24 unrolled
+    layers. Deliberately NOT an outer nn.scan over blocks: the nested-scan
+    program stalls some remote-compile services (measured in this
+    environment) while the single-level form compiles fine, and local XLA
+    compiles both."""
 
     cfg: SamViTConfig
     windowed_per_block: int
 
     @nn.compact
-    def __call__(self, x, _):
+    def __call__(self, x):
         inner = nn.scan(_ScanLayer, variable_axes={"params": 0},
                         split_rngs={"params": True},
                         length=self.windowed_per_block)
         x, _ = inner(self.cfg, True, name="windowed")(x, None)
-        return SamVisionLayer(self.cfg, False, name="global")(x), None
+        return SamVisionLayer(self.cfg, False, name="global")(x)
 
 
 class SamViTEncoder(nn.Module):
@@ -226,9 +231,8 @@ class SamViTEncoder(nn.Module):
                     f"blocks; got {cfg.num_layers} layers with globals at "
                     f"{cfg.global_attn_indexes}")
             n_blocks, per_w = struct
-            outer = nn.scan(_ScanBlock, variable_axes={"params": 0},
-                            split_rngs={"params": True}, length=n_blocks)
-            h, _ = outer(cfg, per_w, name="blocks")(h, None)
+            for b in range(n_blocks):
+                h = _ScanBlock(cfg, per_w, name=f"block_{b}")(h)
         else:
             for i in range(cfg.num_layers):
                 h = SamVisionLayer(
@@ -320,14 +324,13 @@ def convert_sam_vision_state_dict(sd: Mapping[str, np.ndarray],
         def stack(trees):
             return jax.tree.map(lambda *xs: np.stack(xs), *trees)
 
-        p["blocks"] = {
-            # (n_blocks, per_w, ...) windowed stacks, (n_blocks, ...) globals
-            "windowed": {"layer": stack([
-                stack([layer_params(b * (per_w + 1) + j)
-                       for j in range(per_w)]) for b in range(n_blocks)])},
-            "global": stack([layer_params((b + 1) * (per_w + 1) - 1)
-                             for b in range(n_blocks)]),
-        }
+        for b in range(n_blocks):
+            p[f"block_{b}"] = {
+                # (per_w, ...) stacked windowed layers + the unrolled global
+                "windowed": {"layer": stack(
+                    [layer_params(b * (per_w + 1) + j) for j in range(per_w)])},
+                "global": layer_params((b + 1) * (per_w + 1) - 1),
+            }
     else:
         for i in range(cfg.num_layers):
             p[f"layer_{i}"] = layer_params(i)
