@@ -109,3 +109,51 @@ def test_cli_mesh_sp_smoke(tmp_path):
 
     pngs = [f for _, _, fs in os.walk(tmp_path) for f in fs if f.endswith(".png")]
     assert any(f.startswith("edit-") for f in pngs)
+
+
+def test_two_phase_sam_protocol_through_cli(tmp_path):
+    """The reference's SAM two-phase protocol end-to-end through the CLI
+    with the flax backend: phase 1 (--sampling_mode) extracts + caches masks
+    from the generated sample and EXITS; phase 2 (--mask_index) consumes the
+    cache and runs the flagship edit with that mask."""
+    import numpy as np
+    import pytest
+
+    pytest.importorskip("torch")
+    from tests.test_sam_decoder_flax import _tiny_torch_sam
+
+    from loco_edit_tpu.cli.main import main as cli_main
+
+    _, _, sam_model = _tiny_torch_sam()
+    mdir = tmp_path / "tiny-sam"
+    sam_model.save_pretrained(mdir)
+
+    root = str(tmp_path / "runs")
+    common = [
+        "--model_name", "TinyTest", "--dataset_name", "Random",
+        "--for_steps", "6", "--inv_steps", "6", "--edit_t", "0.6",
+        "--x_space_guidance_scale", "0.5", "--x_space_guidance_num_step", "2",
+        "--pca_rank", "1", "--pca_rank_null", "1", "--vis_num", "1",
+        "--run_edit_null_space_projection", "true", "--seed", "3",
+        "--use_mask", "true", "--mask_backend", "flax",
+        "--mask_model_name", str(mdir), "--filter_mask", "0",
+        "--result_folder", root,
+    ]
+    # phase 1: extract masks, then exit(0)
+    with pytest.raises(SystemExit) as e:
+        cli_main(common + ["--sampling_mode", "true"])
+    assert e.value.code == 0
+    import glob
+    import os
+
+    cache = glob.glob(os.path.join(root, "**", "mask", "mask.npz"),
+                      recursive=True)
+    assert len(cache) == 1
+    with np.load(cache[0]) as z:
+        masks = z["masks"]
+    assert masks.ndim == 4 and masks.dtype == bool  # (N, H, W, 3)
+
+    # phase 2: consume the cached mask and run the edit
+    cli_main(common + ["--mask_index", "0", "--null_space_projection", "true"])
+    strips = glob.glob(os.path.join(root, "**", "*.png"), recursive=True)
+    assert strips, "edit produced no output strips"
