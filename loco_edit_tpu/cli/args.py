@@ -127,6 +127,8 @@ def parse_args(argv=None):
 
     # modes
     add("--sampling_mode", type=str2bool, default=False)
+    # capture a jax.profiler device trace of the whole run into this dir
+    add("--trace_dir", type=str, default="")
 
     # mask segmentation
     add("--mask_model_name", type=str, default="facebook/sam-vit-large")

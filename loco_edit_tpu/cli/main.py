@@ -117,6 +117,21 @@ def main(argv=None):
 
     args = preset(parse_args(argv))
 
+    if args.trace_dir:
+        # capture a device trace of the WHOLE run (view in xprof/TensorBoard
+        # or parse the perfetto JSON directly — BENCH.md profiling ledger)
+        import contextlib
+
+        from loco_edit_tpu.utils.logger import tpu_trace
+
+        with contextlib.ExitStack() as stack:
+            stack.enter_context(tpu_trace(args.trace_dir))
+            args.trace_dir = ""
+            return main_dispatch(args)
+    return main_dispatch(args)
+
+
+def main_dispatch(args):
     if args.is_stable_diffusion or args.is_DeepFloyd_IF_diffusion or args.is_LCM:
         return _main_t2i(args)
 

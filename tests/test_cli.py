@@ -157,3 +157,23 @@ def test_two_phase_sam_protocol_through_cli(tmp_path):
     cli_main(common + ["--mask_index", "0", "--null_space_projection", "true"])
     strips = glob.glob(os.path.join(root, "**", "*.png"), recursive=True)
     assert strips, "edit produced no output strips"
+
+
+def test_trace_dir_captures_device_trace(tmp_path):
+    """--trace_dir wraps the whole run in a jax.profiler trace; the perfetto
+    trace file appears under the dir (the BENCH.md ledger workflow)."""
+    import glob
+
+    from loco_edit_tpu.cli.main import main as cli_main
+
+    td = str(tmp_path / "trace")
+    cli_main([
+        "--model_name", "TinyTest", "--dataset_name", "Random",
+        "--for_steps", "4", "--inv_steps", "4", "--edit_t", "0.6",
+        "--x_space_guidance_scale", "0.5", "--x_space_guidance_num_step", "2",
+        "--pca_rank", "1", "--pca_rank_null", "1", "--vis_num", "1",
+        "--use_mask", "false", "--null_space_projection", "false",
+        "--run_edit_null_space_projection", "true", "--seed", "5",
+        "--result_folder", str(tmp_path / "runs"), "--trace_dir", td])
+    traces = glob.glob(td + "/**/*.trace.json.gz", recursive=True)
+    assert traces, "no perfetto trace captured"
