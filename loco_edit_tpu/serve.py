@@ -12,7 +12,9 @@ scale-out is one process per chip behind any HTTP balancer.
                  "mask_bbox": [y0, y1, x0, x1] | null,
                  "pca_rank": int?, "sample_name": str?}
              -> {"strips": {pc: <b64 f32 bytes>}, "shape": [...], "secs": float}
-  POST /invert  {"image": <b64>} -> {"xT": <b64>, "shape": [...]}
+  POST /invert  {"image": <b64>, "refine_steps": int?}   (exact-inversion
+                fixed-point depth; default = server --inv_refine_steps)
+             -> {"xT": <b64>, "shape": [...]}
   POST /segment {"image": <b64>, "filter_mask": int?, "points_per_side": int?}
              -> {"masks": <b64 uint8 (N, H, W)>, "shape": [...]}   (all-TPU SAM)
   GET  /health  -> {"ok": true, "edits_served": n}
@@ -133,7 +135,13 @@ class EditService:
         h, w, c = self.denoiser.sample_shape
         x0 = _unb64(req["image"], (1, h, w, c))
         with self.lock:
-            xT = np.asarray(self.pipe.invert(x0))
+            old = self.pipe.cfg.inv_refine_steps
+            if "refine_steps" in req:  # per-request exact-inversion depth
+                self.pipe.cfg.inv_refine_steps = int(req["refine_steps"])
+            try:
+                xT = np.asarray(self.pipe.invert(x0))
+            finally:
+                self.pipe.cfg.inv_refine_steps = old
         return {"xT": _b64(xT), "shape": list(xT.shape)}
 
     def segment(self, req: dict) -> dict:

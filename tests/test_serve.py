@@ -85,6 +85,23 @@ def test_edit_honors_requested_pca_rank(server):
     assert service.pipe.cfg.pca_rank == 1  # server default restored
 
 
+def test_invert_refine_steps_override(server):
+    """/invert honors a per-request fixed-point refinement depth and
+    restores the server default afterwards."""
+    import base64
+
+    base, service = server
+    img = np.random.default_rng(13).uniform(
+        -1, 1, (1, 32, 32, 3)).astype(np.float32)
+    payload = base64.b64encode(img.tobytes()).decode()
+    _, o0 = _post(base + "/invert", {"image": payload})
+    _, o2 = _post(base + "/invert", {"image": payload, "refine_steps": 2})
+    x0 = np.frombuffer(base64.b64decode(o0["xT"]), np.float32)
+    x2 = np.frombuffer(base64.b64decode(o2["xT"]), np.float32)
+    assert not np.allclose(x0, x2)  # refinement changes the inverse
+    assert service.pipe.cfg.inv_refine_steps == 0  # default restored
+
+
 def test_invert_endpoint_and_errors(server):
     base, _ = server
     import base64
