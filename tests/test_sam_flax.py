@@ -192,3 +192,23 @@ def test_scan_blocks_encoder_matches_unrolled():
     assert bad.block_structure is None
     with pytest.raises(ValueError, match="uniform"):
         convert_sam_vision_state_dict(sd, bad)
+
+
+def test_loco_sam_scan_env_opt_out(monkeypatch):
+    """LOCO_SAM_SCAN=0 keeps prepare_sam_flax on the unrolled encoder (for
+    compile services that stall on scanned programs); default prefers scan
+    when the block structure is uniform."""
+    from tests.test_sam_decoder_flax import _tiny_torch_sam
+
+    from loco_edit_tpu.masks.sam import prepare_sam_flax
+
+    # tiny model: 2 layers, globals=[1] -> uniform (1 block, 1 windowed)
+    _, _, model = _tiny_torch_sam()
+    b = prepare_sam_flax(model)
+    assert b.cfg.scan_blocks  # default: scan when structure allows
+    assert "block_0" in b.enc_params["params"]
+
+    monkeypatch.setenv("LOCO_SAM_SCAN", "0")
+    b2 = prepare_sam_flax(model)
+    assert not b2.cfg.scan_blocks
+    assert "layer_0" in b2.enc_params["params"]
