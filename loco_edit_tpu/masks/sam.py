@@ -352,8 +352,16 @@ def extract_and_cache_masks(args, x0: np.ndarray, mask_path: str) -> np.ndarray:
     if getattr(args, "mask_backend", "hf_pipeline") == "flax":
         from transformers import SamModel
 
-        sam_model = SamModel.from_pretrained(
-            args.mask_model_name, cache_dir=cache).eval()
+        try:
+            sam_model = SamModel.from_pretrained(
+                args.mask_model_name, cache_dir=cache).eval()
+        except Exception as e:  # noqa: BLE001 — surface the actionable fix
+            raise RuntimeError(
+                f"could not load SAM weights {args.mask_model_name!r} "
+                "(no hub access?): pass --mask_model_name pointing at a "
+                "local SamModel.save_pretrained dir or HF cache, or use "
+                "--mask_backend hf_pipeline with a warm HF cache"
+            ) from e
         masks = segment_image_flax_encoder(
             img, sam_model, filter_mask=args.filter_mask,
             resolution=args.image_size)
