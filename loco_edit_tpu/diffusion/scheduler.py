@@ -88,8 +88,29 @@ class LinspaceDDIM:
 
     # -- grids ---------------------------------------------------------------
 
+    @staticmethod
+    def _linspace_f32(num_steps: int) -> np.ndarray:
+        """Bit-exact reproduction of torch.linspace(0, 1, n) on CPU f32
+        (the reference grid, src/utils/utils.py:319,326): two-ended
+        evaluation with an f32 step, each element one fused multiply-add —
+        fwd fma(i, step, 0) below the halfway index, bwd fma(-(n-1-i), step, 1)
+        above. Emulated here as exact f64 products with a single rounding.
+        A naive f64 linspace differs by 1 ulp on ~18% of entries, and a 1-ulp
+        grid difference can flip a floor(t) alpha-bar lookup across an
+        integer boundary (pinned by tests/test_scheduler_golden.py)."""
+        if num_steps == 1:
+            return np.zeros((1,), np.float64)
+        i = np.arange(num_steps)
+        step = np.float64(np.float32(1.0) / np.float32(num_steps - 1))
+        fwd = (i * step).astype(np.float32)
+        bwd = (np.float64(1.0) - (num_steps - 1 - i) * step).astype(np.float32)
+        return np.where(i < num_steps // 2, fwd, bwd).astype(np.float64)
+
     def _base_grid(self, num_steps: int) -> np.ndarray:
-        return np.linspace(0.0, 1.0, num_steps, dtype=np.float64) * self.t_max
+        # torch multiplies the f32 grid by the int t_max in f32
+        g32 = (self._linspace_f32(num_steps).astype(np.float32)
+               * np.float32(self.t_max))
+        return g32.astype(np.float64)
 
     def _lookup(self, table: np.ndarray, t: np.ndarray) -> np.ndarray:
         idx = np.clip(t.astype(np.int64), 0, table.shape[0] - 1)
@@ -114,7 +135,9 @@ class LinspaceDDIM:
     def inversion_grid(self, num_steps: int) -> TimestepGrid:
         """Ascending grid (+1e-6 shift); S = num_steps - 2 executed updates
         (the reference breaks before the final entry, edit.py:2146-2148)."""
-        g = self._base_grid(num_steps) + 1e-6
+        # f32 add, exactly as the reference's f32 tensor + 1e-6 (utils.py:320)
+        g = (self._base_grid(num_steps).astype(np.float32)
+             + np.float32(1e-6)).astype(np.float64)
         return self._make(g[:-2], g[1:-1], inversion=True)
 
     # -- derived indices (reference: edit.py:2072-2073) -----------------------

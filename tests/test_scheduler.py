@@ -85,8 +85,11 @@ def test_generation_grid_semantics():
     g = np.linspace(0, 1, n) * 999.0
     grid = dd.generation_grid(n)
     assert len(grid) == n - 1
-    np.testing.assert_allclose(grid.t, g[1:][::-1].astype(np.float32))
-    np.testing.assert_allclose(grid.t_next, g[:-1][::-1].astype(np.float32))
+    # rtol 2e-7: the grid is now BIT-exact to torch's f32 two-ended fma
+    # linspace (pinned in test_scheduler_golden.py), which differs from this
+    # f64 numpy linspace by up to 1 ulp
+    np.testing.assert_allclose(grid.t, g[1:][::-1].astype(np.float32), rtol=2e-7)
+    np.testing.assert_allclose(grid.t_next, g[:-1][::-1].astype(np.float32), rtol=2e-7)
     assert grid.t[0] == np.float32(999.0)
     assert grid.t_next[-1] == 0.0
     # alpha-bar is looked up at floor(t)
@@ -98,11 +101,11 @@ def test_inversion_grid_stops_one_early_and_shifts():
     dd = LinspaceDDIM()
     n = 100
     g = np.linspace(0, 1, n) * 999.0 + 1e-6
-    grid = dd.inversion_grid(n)
+    grid = dd.inversion_grid(n)  # torch-bit-exact grid: 1-ulp vs f64 numpy
     # the reference loop executes n-2 updates (edit.py:2146-2148)
     assert len(grid) == n - 2
-    np.testing.assert_allclose(grid.t, g[:-2].astype(np.float32))
-    np.testing.assert_allclose(grid.t_next, g[1:-1].astype(np.float32))
+    np.testing.assert_allclose(grid.t, g[:-2].astype(np.float32), rtol=2e-7, atol=2e-5)
+    np.testing.assert_allclose(grid.t_next, g[1:-1].astype(np.float32), rtol=2e-7, atol=2e-5)
     # final inversion level is g_{n-2}, NOT t_max
     assert abs(float(grid.t_next[-1]) - g[-2]) < 1e-3
 
