@@ -96,6 +96,7 @@ def subspace_iteration(
     probe_chunk: int | None = None,
     probe_sharding=None,
     pad_probes: bool | None = None,
+    v_init: jnp.ndarray | None = None,
 ) -> EditBasis:
     """Estimate the top-`rank` right-singular subspace of d f / d x at x.
 
@@ -109,6 +110,11 @@ def subspace_iteration(
     probes, measured faster than a ragged batch on TPU — see module
     docstring); default: on for the TPU backend, off elsewhere. Convergence
     is measured on the top-`rank` rows only, and only those are returned.
+    v_init: optional explicit (rank, d_in) orthonormal starting probes
+    (rows), overriding the random init — used for warm starts and for
+    matched-probe golden comparison against the reference iteration
+    (tests/test_reference_golden_e2e.py); requires pad_probes=False so the
+    probe count equals the given rows.
     """
     x = jnp.asarray(x)
     d_in = x.size
@@ -165,7 +171,15 @@ def subspace_iteration(
             return arr
         return jax.lax.with_sharding_constraint(arr, probe_sharding)
 
-    v0 = _pin(init_probes(key, r_eff, d_in))
+    if v_init is not None:
+        v_init = jnp.asarray(v_init, jnp.float32)
+        if v_init.shape != (r_eff, d_in):
+            raise ValueError(
+                f"v_init shape {v_init.shape} != ({r_eff}, {d_in}); pass "
+                "pad_probes=False for an exact probe count")
+        v0 = _pin(v_init)
+    else:
+        v0 = _pin(init_probes(key, r_eff, d_in))
     out_shape = jax.eval_shape(fw, x)
     u0 = jnp.zeros((r_eff,) + out_shape.shape, out_shape.dtype)
     s0 = jnp.zeros((r_eff,), jnp.float32)
