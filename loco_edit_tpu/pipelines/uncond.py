@@ -245,19 +245,33 @@ class UncondEditPipeline:
                     os.path.join(basis_dir, f"pc_{pc:03d}-vT.npz"),
                     np.asarray(vT[pc:pc + 1]), edit_t=cfg.edit_t, pc=pc)
 
-        # walks + final denoise, one strip per principal component
+        # walks + final denoise. The reference denoises each principal
+        # component's strip as its own sequential batch (edit.py:2340-2364);
+        # nothing in the algorithm requires that — here ALL strips concatenate
+        # into ONE batch so a single compiled program amortizes the scan
+        # across every PC (flagship: one batch-45 program instead of five
+        # sequential batch-9 programs; the batch-9 denoise is MFU-starved).
+        # memory_bound still bounds peak memory by chunking the big batch,
+        # mirroring the reference's own single-strip chunking (edit.py:2561).
+        n_pc = min(cfg.vis_num_pc, vT.shape[0])
+        per_pc = [x_space_guidance_strip(
+            xt, vT[pc], scale=cfg.x_space_guidance_scale,
+            edit_step=cfg.x_space_guidance_edit_step,
+            num_steps=cfg.x_space_guidance_num_step, vis_num=cfg.vis_num)
+            for pc in range(n_pc)]
         strips = {}
-        for pc in range(min(cfg.vis_num_pc, vT.shape[0])):
-            strip = x_space_guidance_strip(
-                xt, vT[pc], scale=cfg.x_space_guidance_scale,
-                edit_step=cfg.x_space_guidance_edit_step,
-                num_steps=cfg.x_space_guidance_num_step, vis_num=cfg.vis_num)
-            edited = self.generate_chunked(strip, self.edit_t_idx, None, boost=True)
-            strips[pc] = np.asarray(edited)
-            if cfg.save_images:
-                save_image_grid(
-                    strips[pc],
-                    os.path.join(out_dir, f"edit-{basis_name}-pc{pc:03d}.png"))
+        if n_pc:
+            edited_all = np.asarray(self.generate_chunked(
+                jnp.concatenate(per_pc, axis=0), self.edit_t_idx, None,
+                boost=True))
+            offset = 0
+            for pc, s in enumerate(per_pc):
+                strips[pc] = edited_all[offset:offset + s.shape[0]]
+                offset += s.shape[0]
+                if cfg.save_images:
+                    save_image_grid(
+                        strips[pc],
+                        os.path.join(out_dir, f"edit-{basis_name}-pc{pc:03d}.png"))
 
         return {"xt": np.asarray(xt), "vT": np.asarray(vT), "strips": strips,
                 "edit_t_idx": t_idx, "out_dir": out_dir}

@@ -29,13 +29,14 @@ def pipeline_factory(tmp_path_factory):
 
     def make(**overrides):
         root = str(tmp_path_factory.mktemp("run"))
-        cfg = UncondEditConfig(
+        kw = dict(
             for_steps=10, inv_steps=10, edit_t=0.6, performance_boosting_t=0.2,
             x_space_guidance_scale=0.5, x_space_guidance_num_step=4,
             vis_num=2, vis_num_pc=2, pca_rank=2, pca_rank_null=2,
             min_iter=2, max_iter=4, convergence_threshold=1e-3,
-            result_folder=root, **overrides)
-        return UncondEditPipeline(den, cfg, seed_everything(7)), root
+            result_folder=root)
+        kw.update(overrides)
+        return UncondEditPipeline(den, UncondEditConfig(**kw), seed_everything(7)), root
 
     return make
 
@@ -123,6 +124,26 @@ def test_mesh_probe_through_pipeline(pipeline_factory):
     assert vt.shape == (8, 32 * 32 * 3) and np.all(np.isfinite(vt))
     np.testing.assert_allclose(np.linalg.norm(vt, axis=1), 1.0, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(b_s.s), np.asarray(b_1.s), rtol=5e-2)
+
+
+def test_batched_strip_denoise_matches_per_pc(pipeline_factory):
+    """All PC strips denoise as ONE concatenated batch (single compiled
+    program); with the deterministic tail (boost_t=0) the result must be
+    pixel-identical to denoising each strip separately."""
+    from loco_edit_tpu.editing import x_space_guidance_strip
+
+    pipe, _ = pipeline_factory(performance_boosting_t=0.0)
+    x0 = np.random.default_rng(9).normal(size=(1, 32, 32, 3)).astype(np.float32) * 0.3
+    mask = np.zeros((1, 32, 32, 3), bool)
+    mask[:, 6:18, 6:18, :] = True
+    out = pipe.run_edit_null_space_projection(x0=x0, mask=mask, sample_name="sb")
+    xt = jnp.asarray(out["xt"])
+    for pc in (0, 1):
+        strip = x_space_guidance_strip(
+            xt, jnp.asarray(out["vT"][pc]), scale=0.5, edit_step=1.0,
+            num_steps=4, vis_num=2)
+        solo = np.asarray(pipe.generate(strip, pipe.edit_t_idx, None))
+        np.testing.assert_allclose(out["strips"][pc], solo, atol=1e-5)
 
 
 def test_no_null_projection_variant(pipeline_factory):
