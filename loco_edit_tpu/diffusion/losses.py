@@ -94,6 +94,80 @@ class GaussianDiffusionMath:
         logvar = frac * max_log + (1.0 - frac) * min_log
         return mean, logvar, x0
 
+    def q_mean_logvar(self, x0, t):
+        """Moments of q(x_t | x_0) (gaussian_diffusion.py:171-191)."""
+        ab = self._g(self._ab, t, x0)
+        return jnp.sqrt(ab) * x0, jnp.log(1.0 - ab)
+
+    def q_sample(self, x0, t, noise):
+        ab = self._g(self._ab, t, x0)
+        return jnp.sqrt(ab) * x0 + jnp.sqrt(1.0 - ab) * noise
+
+    def prior_bpd(self, x0):
+        """KL(q(x_T|x_0) || N(0, I)) in bits/dim, per batch element
+        (gaussian_diffusion.py:819-835)."""
+        t = jnp.full((x0.shape[0],), self._ab.shape[0] - 1, jnp.int32)
+        mean, logvar = self.q_mean_logvar(x0, t)
+        kl = normal_kl(mean, logvar, 0.0, 0.0)
+        return jnp.mean(kl, axis=tuple(range(1, kl.ndim))) / np.log(2.0)
+
+    def calc_bpd_loop(self, model_fn, x0, key=None, *, learned_sigma=False,
+                      clip_x0=True, noise=None):
+        """Full variational-bound evaluation: one VLB term per training
+        timestep, swept T-1..0 (reference calc_bpd_loop,
+        gaussian_diffusion.py:838-893). The reference's Python loop of T
+        no_grad forwards becomes a single lax.scan program.
+
+        model_fn(xt, t_batch) -> eps, or (eps, logvar_frac) when
+        learned_sigma. noise: optional (T, *x0.shape) array (index i holds
+        the draw for t = T-1-i), used for deterministic eval / oracle tests;
+        otherwise drawn from `key` per step.
+
+        Returns dict(total_bpd (N,), prior_bpd (N,), vb (N, T),
+        xstart_mse (N, T), mse (N, T)) — vb[:, j] is the term at t = T-1-j,
+        matching the reference's append order.
+        """
+        if key is None and noise is None:
+            raise ValueError("provide key or noise")
+        T = self._ab.shape[0]
+        n = x0.shape[0]
+        red = tuple(range(1, x0.ndim))
+        ts = jnp.arange(T - 1, -1, -1)
+        xs = {"t": ts}
+        if noise is not None:
+            xs["noise"] = jnp.asarray(noise)
+
+        def body(_, s):
+            t = jnp.full((n,), s["t"], jnp.int32)
+            nz = (s["noise"] if noise is not None else
+                  jax.random.normal(jax.random.fold_in(key, s["t"]),
+                                    x0.shape, x0.dtype))
+            xt = self.q_sample(x0, t, nz)
+            out = model_fn(xt, t)
+            eps, frac = out if learned_sigma else (out, None)
+            true_mean, true_logvar = self.q_posterior_mean_logvar(x0, xt, t)
+            mean, logvar, x0p = self.p_mean_logvar(
+                xt, t, eps, model_logvar_frac=frac, clip_x0=clip_x0)
+            kl = jnp.mean(normal_kl(true_mean, true_logvar, mean, logvar),
+                          axis=red) / np.log(2.0)
+            nll = -discretized_gaussian_log_likelihood(
+                x0, mean, 0.5 * logvar)
+            nll = jnp.mean(nll, axis=red) / np.log(2.0)
+            vb = jnp.where(t == 0, nll, kl)
+            xstart_mse = jnp.mean((x0p - x0) ** 2, axis=red)
+            # eps recovered from the (possibly clipped) x0 prediction, as the
+            # reference's _predict_eps_from_xstart does (:889)
+            ab = self._g(self._ab, t, xt)
+            eps_back = (xt - jnp.sqrt(ab) * x0p) / jnp.sqrt(1.0 - ab)
+            mse = jnp.mean((eps_back - nz) ** 2, axis=red)
+            return None, (vb, xstart_mse, mse)
+
+        _, (vb, xm, ms) = jax.lax.scan(body, None, xs)
+        vb, xm, ms = (a.T for a in (vb, xm, ms))  # (N, T)
+        prior = self.prior_bpd(x0)
+        return {"total_bpd": vb.sum(axis=1) + prior, "prior_bpd": prior,
+                "vb": vb, "xstart_mse": xm, "mse": ms}
+
     def vb_term(self, x0_true, xt, t, eps, model_logvar_frac=None):
         """Per-element VLB term L_{t-1} (or L_0 decoder NLL) in bits/dim
         (gaussian_diffusion.py:694-743); the mean is stop-gradiented so the

@@ -34,6 +34,34 @@ def h_to_e(eps_fn_with_inject: Callable, x: jnp.ndarray, u_h: jnp.ndarray,
     return pert - base
 
 
+def inv_jac(h_fn: Callable, x: jnp.ndarray, u_h: jnp.ndarray,
+            perturb_h: float = 1e-1) -> jnp.ndarray:
+    """x-space directions realizing given h-space perturbations — the inverse
+    Jacobian map (reference PullBackDDPM.inv_jac_xt, ddpm/diffusion.py:347-377).
+
+    The reference perturbs the bottleneck h -> h + perturb_h*u and takes the
+    gradient of x' -> ||(h + perturb_h*u) - h(x')|| at the base point x,
+    row-normalized. At the base point the residual is exactly perturb_h*u, so
+    that gradient is analytically -J_h^T u / ||u|| for ANY perturb_h — the
+    finite perturbation cancels. Here it is computed as one shared VJP of
+    h_fn, vmapped over the direction rows; `perturb_h` is kept for signature
+    parity and only its sign matters (the reference's gradient points AWAY
+    from the target, hence the leading minus).
+
+    u_h: (rank, d_h) rows (or (d_h,)); returns (rank, d_in) unit rows.
+    """
+    u = jnp.atleast_2d(jnp.asarray(u_h))
+    h0, vjp = jax.vjp(h_fn, x)
+
+    def one(ui):
+        ct = (ui / jnp.maximum(jnp.linalg.norm(ui), 1e-20)).reshape(h0.shape)
+        g = vjp(-jnp.sign(perturb_h) * ct.astype(h0.dtype))[0]
+        return g.reshape(-1).astype(jnp.float32)
+
+    vT = jax.vmap(one)(u)
+    return vT / jnp.maximum(jnp.linalg.norm(vT, axis=1, keepdims=True), 1e-12)
+
+
 def global_pca_h(h_fn: Callable, xs: jnp.ndarray, *, rank: int,
                  chunk: int = 0) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Global PCA of bottleneck features over a SAMPLE POPULATION (reference
