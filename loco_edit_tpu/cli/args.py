@@ -126,6 +126,12 @@ def parse_args(argv=None):
     add("--note", type=str, default="")
 
     # modes
+    add("--verify_load", type=str, default="",
+        help="verify a real checkpoint end to end (convert + strict key "
+             "coverage + forward + torch oracle where available) and exit; "
+             "one of: adm, ddpm, sd_unet, sd_vae, ifm, lpips, sam. The "
+             "first command to run on a machine with real weights "
+             "(docs/MIGRATION.md)")
     add("--sampling_mode", type=str2bool, default=False)
     # capture a jax.profiler device trace of the whole run into this dir
     add("--trace_dir", type=str, default="")

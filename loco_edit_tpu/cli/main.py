@@ -115,7 +115,12 @@ def _sam_mask(args, x0, make_image=None):
 def main(argv=None):
     from loco_edit_tpu.cli.args import parse_args, preset
 
-    args = preset(parse_args(argv))
+    args = parse_args(argv)
+    if args.verify_load:
+        from loco_edit_tpu.cli.verify_load import verify_checkpoint
+
+        return verify_checkpoint(args)
+    args = preset(args)
 
     if args.trace_dir:
         # capture a device trace of the WHOLE run (view in xprof/TensorBoard
