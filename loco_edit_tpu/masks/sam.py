@@ -79,26 +79,27 @@ def _mask_boxes(masks: np.ndarray) -> np.ndarray:
 
 def _box_nms(boxes: np.ndarray, scores: np.ndarray, iou: float) -> np.ndarray:
     """Greedy box NMS (the AMG postprocess step HF runs via torchvision);
-    returns kept indices in descending score order."""
+    returns kept indices in descending score order. The pairwise IoU against
+    the kept set is a vectorized numpy broadcast — a dense 32x32-grid scene
+    proposes ~3k candidates, and an O(N^2) pure-Python inner loop costs
+    seconds of host time when few masks are suppressed."""
     order = np.argsort(-scores)
-    keep: list[int] = []
-    for i in order:
-        bi = boxes[i]
-        ok = True
-        for j in keep:
-            bj = boxes[j]
-            ix0, iy0 = max(bi[0], bj[0]), max(bi[1], bj[1])
-            ix1, iy1 = min(bi[2], bj[2]), min(bi[3], bj[3])
-            inter = max(0.0, ix1 - ix0) * max(0.0, iy1 - iy0)
-            area_i = (bi[2] - bi[0]) * (bi[3] - bi[1])
-            area_j = (bj[2] - bj[0]) * (bj[3] - bj[1])
-            union = area_i + area_j - inter
-            if union > 0 and inter / union > iou:
-                ok = False
-                break
-        if ok:
-            keep.append(int(i))
-    return np.asarray(keep, np.int64)
+    b = boxes[order].astype(np.float64)
+    areas = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    kept: list[int] = []
+    for i in range(b.shape[0]):
+        if kept:
+            kb = b[kept]
+            ix0 = np.maximum(b[i, 0], kb[:, 0])
+            iy0 = np.maximum(b[i, 1], kb[:, 1])
+            ix1 = np.minimum(b[i, 2], kb[:, 2])
+            iy1 = np.minimum(b[i, 3], kb[:, 3])
+            inter = np.clip(ix1 - ix0, 0, None) * np.clip(iy1 - iy0, 0, None)
+            union = areas[i] + areas[kept] - inter
+            if np.any((union > 0) & (inter / np.maximum(union, 1e-300) > iou)):
+                continue
+        kept.append(i)
+    return order[kept].astype(np.int64)
 
 
 class SamFlaxBundle:

@@ -250,6 +250,12 @@ class SamMaskDecodeModel(nn.Module):
                  input_masks=None, multimask_output: bool = True):
         cfg = self.cfg
         b, e, _, c = image_embeddings.shape
+        # init-scale note: HF SamPositionalEmbedding scales its random init
+        # by vision_config.hidden_size // 2; this decoder-side module only
+        # sees the decoder width, so a FROM-SCRATCH init would not match
+        # HF's distribution. Intentional: this matrix is always overwritten
+        # by the converted checkpoint (convert_sam_decoder_state_dict), and
+        # checkpoint-loaded numerics are golden-tested.
         pe_matrix = self.param(
             "positional_embedding",
             nn.initializers.normal(stddev=cfg.hidden_size // 2),

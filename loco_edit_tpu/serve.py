@@ -54,21 +54,26 @@ class EditService:
         self.edits_served = 0
         self._args = args
         self._sam = None        # SamFlaxBundle, converted on first use
+        # separate init lock: the first-time SAM torch load + conversion can
+        # take minutes and must not stall /edit and /invert requests, which
+        # only contend on self.lock
+        self._sam_lock = threading.Lock()
 
     def _sam_bundle(self):
-        if self._sam is None:
-            from transformers import SamModel
+        with self._sam_lock:
+            if self._sam is None:
+                from transformers import SamModel
 
-            from loco_edit_tpu.masks.sam import prepare_sam_flax
+                from loco_edit_tpu.masks.sam import prepare_sam_flax
 
-            model = SamModel.from_pretrained(
-                self._args.mask_model_name,
-                cache_dir=getattr(self._args, "cache_folder", None) or None,
-            ).eval()
-            # only the converted Flax bundle is kept warm — the ~1.2 GB
-            # torch model is dropped right after conversion
-            self._sam = prepare_sam_flax(model)
-        return self._sam
+                model = SamModel.from_pretrained(
+                    self._args.mask_model_name,
+                    cache_dir=getattr(self._args, "cache_folder", None) or None,
+                ).eval()
+                # only the converted Flax bundle is kept warm — the ~1.2 GB
+                # torch model is dropped right after conversion
+                self._sam = prepare_sam_flax(model)
+            return self._sam
 
     def _resolve_input(self, req: dict):
         import jax
@@ -152,9 +157,12 @@ class EditService:
 
         h, w, c = self.denoiser.sample_shape
         x0 = _unb64(req["image"], (1, h, w, c))
+        # bundle conversion happens OUTSIDE the edit lock (its own init
+        # lock); only the device work below contends with /edit
+        bundle = self._sam_bundle()
         with self.lock:
             masks = segment_image_flax_encoder(
-                to_uint8(x0)[0], prepared=self._sam_bundle(), resolution=h,
+                to_uint8(x0)[0], prepared=bundle, resolution=h,
                 filter_mask=int(req.get("filter_mask", 100)),
                 points_per_side=int(req.get("points_per_side", 32)))
         payload = base64.b64encode(

@@ -87,11 +87,20 @@ def lpips(a: np.ndarray, b: np.ndarray, net: str | None = None,
     if weights_path:
         from loco_edit_tpu.utils.lpips_flax import LPIPSMetric
 
-        metric = _lpips_cache.get(weights_path)
+        # keyed by (path, mtime): replacing the checkpoint file on disk
+        # within a process must not keep serving the stale converted metric
+        main, _, lin = weights_path.partition(":")
+        try:
+            mtime = os.path.getmtime(main)
+        except OSError:
+            mtime = 0.0
+        cache_key = (weights_path, mtime)
+        metric = _lpips_cache.get(cache_key)
         if metric is None:
-            main, _, lin = weights_path.partition(":")
+            while len(_lpips_cache) >= 4:   # bound growth across paths/mtimes
+                _lpips_cache.pop(next(iter(_lpips_cache)))
             metric = LPIPSMetric.from_torch_file(main, lin or None)
-            _lpips_cache[weights_path] = metric
+            _lpips_cache[cache_key] = metric
         if net is not None and metric.net != net:
             # silently returning alex distances for net="vgg" would corrupt
             # reported metrics — the checkpoint decides the backbone, the

@@ -121,6 +121,43 @@ def test_amg_box_nms():
     assert keep[0] == 1  # descending score order
 
 
+def test_amg_box_nms_vectorized_matches_bruteforce():
+    """The broadcast inner loop must keep greedy-NMS semantics exactly: a
+    scalar O(N^2) re-implementation is the oracle on random box soups."""
+    from loco_edit_tpu.masks.sam import _box_nms
+
+    def brute(boxes, scores, iou):
+        order = np.argsort(-scores)
+        keep = []
+        for i in order:
+            ok = True
+            for j in keep:
+                bi, bj = boxes[i], boxes[j]
+                ix0, iy0 = max(bi[0], bj[0]), max(bi[1], bj[1])
+                ix1, iy1 = min(bi[2], bj[2]), min(bi[3], bj[3])
+                inter = max(0.0, ix1 - ix0) * max(0.0, iy1 - iy0)
+                union = ((bi[2] - bi[0]) * (bi[3] - bi[1])
+                         + (bj[2] - bj[0]) * (bj[3] - bj[1]) - inter)
+                if union > 0 and inter / union > iou:
+                    ok = False
+                    break
+            if ok:
+                keep.append(int(i))
+        return np.asarray(keep, np.int64)
+
+    rng = np.random.default_rng(0)
+    for trial in range(5):
+        n = 60
+        x0 = rng.uniform(0, 20, (n, 2))
+        wh = rng.uniform(1, 12, (n, 2))
+        boxes = np.concatenate([x0, x0 + wh], axis=1)
+        boxes[:3, 2:] = boxes[:3, :2]  # a few degenerate zero-area boxes
+        scores = rng.uniform(size=n)
+        got = _box_nms(boxes, scores, iou=0.5)
+        want = brute(boxes, scores, 0.5)
+        np.testing.assert_array_equal(got, want)
+
+
 def test_segment_image_flax_encoder_end_to_end():
     """Full TPU-encoder mask-generation machinery on a tiny random SamModel:
     Flax embeddings -> host prompt-encoder/mask-decoder -> filtered masks."""
