@@ -202,10 +202,13 @@ def main():
         f"(extrapolated from {n_timed})")
 
     # ---- secondary: denoise throughput (stderr only) -----------------------
+    # batch 32: the measured MFU knee (round-3 sweep, BENCH.md — batch 9 was
+    # starved at 41%; tile-aligned 16/32/48 all reach ~70-72%)
     from loco_edit_tpu.diffusion import ddim_generate
 
+    dn_b = 32
     strip = jax.random.normal(jax.random.fold_in(key, 7),
-                              (9, IMG, IMG, 3), jnp.float32)
+                              (dn_b, IMG, IMG, 3), jnp.float32)
     gen = jax.jit(lambda z: ddim_generate(eps_fn, z, grid))
     gen(strip).block_until_ready()
     t0 = time.perf_counter()
@@ -215,8 +218,8 @@ def main():
     step_flops = program_flops(jax.jit(lambda z: eps_fn(z, 500.0)), strip)
     denoise_flops = None if step_flops is None else 99 * step_flops
     denoise_mfu = mfu(denoise_flops, dt)
-    log(f"denoise: 99 steps x batch 9 @256px = {dt:.2f}s "
-        f"({99 / dt:.2f} steps/s, {99 * 9 / dt:.1f} img-steps/s)")
+    log(f"denoise: 99 steps x batch {dn_b} @256px = {dt:.2f}s "
+        f"({99 / dt:.2f} steps/s, {99 * dn_b / dt:.1f} img-steps/s)")
     if denoise_mfu is not None:
         log(f"denoise MFU: {denoise_flops / 1e12:.2f} TF / {dt:.2f}s "
             f"-> {100 * denoise_mfu:.1f}% of peak")

@@ -127,12 +127,28 @@ class UncondEditPipeline:
         chunks strip denoise at edit.py:2561-2593 to bound peak memory — a
         rank-5 x 16-step walk strip at 256px is a 9-45 image batch). The last
         chunk is zero-padded to the chunk size so every chunk reuses one
-        compiled program, then sliced back."""
+        compiled program, then sliced back.
+
+        With memory_bound=0 on TPU, batches above 16 are chunked at 16
+        anyway: measured on v5e at the flagship 256px config, TILE-ALIGNED
+        batches (16/32/48) all run the denoise scan at ~70-72% MFU while
+        ragged ones sit lower (batch 18: 53%, batch 45: 66%, batch 9: 41%),
+        so 3 x 16-frame programs denoise the 45-frame strip set in 7.72 s vs
+        7.88 s for one batch-45 program and 12.74 s for the reference's five
+        per-PC batch-9 programs (scripts/bench_strip_variants.py)."""
         from loco_edit_tpu.utils.chunk import map_chunked
 
+        xt = jnp.asarray(xt)
+        bound = self.cfg.memory_bound
+        if not bound and xt.shape[0] > 16:
+            try:
+                if jax.default_backend() == "tpu":
+                    bound = 16
+            except RuntimeError:
+                pass
         return map_chunked(
             lambda c: self.generate(c, start_idx, end_idx, boost),
-            jnp.asarray(xt), self.cfg.memory_bound)
+            xt, bound)
 
     def pullback_fn(self, mask: np.ndarray | None):
         t = float(self.gen_grid.t[self.edit_t_idx])

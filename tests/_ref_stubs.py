@@ -51,6 +51,18 @@ def install_reference_path():
             for k, v in attrs.items():
                 setattr(mod, k, v)
             sys.modules[name] = mod
+        elif getattr(sys.modules[name].__spec__, "loader", True) is None:
+            # an earlier test file installed a barer stub (e.g. torchvision
+            # without save_image) — fill in whatever attrs it lacks so test
+            # ORDER cannot decide whether the oracle engine can run
+            mod = sys.modules[name]
+            for k, v in attrs.items():
+                if not hasattr(mod, k):
+                    setattr(mod, k, v)
+            if not hasattr(mod, "__path__"):
+                mod.__path__ = []
+                if getattr(mod, "__spec__", None) is not None:
+                    mod.__spec__.submodule_search_locations = []
         if "." in name:
             parent, child = name.rsplit(".", 1)
             if parent in sys.modules and not hasattr(sys.modules[parent], child):

@@ -126,6 +126,18 @@ def test_mesh_probe_through_pipeline(pipeline_factory):
     np.testing.assert_allclose(np.asarray(b_s.s), np.asarray(b_1.s), rtol=5e-2)
 
 
+def test_tpu_default_chunk16_matches_unchunked(pipeline_factory, monkeypatch):
+    """On TPU, memory_bound=0 batches >16 auto-chunk at the measured
+    tile-aligned sweet spot; numerics must be unchanged (padding sliced
+    back). Simulated here by faking the backend name."""
+    pipe, _ = pipeline_factory()
+    x = np.random.default_rng(11).normal(size=(20, 32, 32, 3)).astype(np.float32)
+    full = np.asarray(pipe.generate(jnp.asarray(x), pipe.edit_t_idx, None))
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    chunked = np.asarray(pipe.generate_chunked(jnp.asarray(x), pipe.edit_t_idx, None))
+    np.testing.assert_allclose(chunked, full, atol=1e-5)
+
+
 def test_batched_strip_denoise_matches_per_pc(pipeline_factory):
     """All PC strips denoise as ONE concatenated batch (single compiled
     program); with the deterministic tail (boost_t=0) the result must be
