@@ -222,6 +222,7 @@ def _main_t2i(args):
             null_space_projection=args.null_space_projection,
             non_semantic=args.non_semantic, use_sega=args.use_sega,
             memory_bound=args.memory_bound,
+            probe_chunk=args.probe_chunk or None,
             result_folder=args.result_folder)
         pipe = LCMEditPipeline(b["unet_apply"], b["decode"],
                                b["prompt_encoder"], cfg, rng,
@@ -269,6 +270,7 @@ def _main_t2i(args):
             tilda_v_score_type=args.tilda_v_score_type
             or "null+(for-null)+(edit-null)",
             memory_bound=args.memory_bound,
+            probe_chunk=args.probe_chunk or None,
             result_folder=args.result_folder)
         pipe = SDEditPipeline(b["unet_apply"], b["decode"], b["encode"],
                               b["prompt_encoder"], cfg, rng,
@@ -314,7 +316,8 @@ def _main_t2i(args):
         pca_rank_null=args.pca_rank_null,
         null_space_projection=args.null_space_projection,
         tilda_v_score_type=args.tilda_v_score_type or "(for-edit)-direct",
-        jacobian=args.jacobian, result_folder=args.result_folder)
+        jacobian=args.jacobian, probe_chunk=args.probe_chunk or None,
+        result_folder=args.result_folder)
     pipe = IFEditPipeline(b["unet_apply"], b["prompt_encoder"], cfg, rng,
                           sample_shape=b["sample_shape"],
                           superres=b.get("superres"))

@@ -32,6 +32,11 @@ class SDUNetConfig:
     freq_shift: float = 0.0
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    # remat policy: None recomputes everything inside each block (max memory
+    # saving); "dots_no_batch" keeps weight-matmul outputs (qkv/out/mlp
+    # projections — small) and recomputes only batched dots (the 4096-token
+    # attention logits that pin ~5G as linearize residuals, BENCH.md round 3)
+    remat_policy: str | None = None
 
     @property
     def time_embed_dim(self) -> int:
@@ -48,6 +53,12 @@ class VAEConfig:
     layers_per_block: int = 2
     scaling_factor: float = 0.18215
     dtype: jnp.dtype = jnp.float32
+    # per-block jax.checkpoint in the DECODER (the module the z-space pullback
+    # differentiates through, reference get_x0 edit.py:757-781): at 512px the
+    # tangent/cotangent passes otherwise pin ~128M-apiece f32 resnet temps as
+    # linearize residuals (the chunk=4 OOM dump, BENCH.md round 3). Recompute-
+    # only — equivalence pinned in tests/test_sd_models.py.
+    remat: bool = False
 
 
 _PRESETS = {

@@ -197,8 +197,25 @@ class SDUNet(nn.Module):
                       "time_dense1")(jax.nn.silu(temb))
         temb = temb.astype(cfg.dtype)
 
-        block = (lambda m, *a: jax.checkpoint(m.__call__)(*a)) if cfg.remat \
-            else (lambda m, *a: m(*a))
+        if cfg.remat:
+            # flax's LIFTED remat (raw jax.checkpoint around a bound method
+            # leaks tracers out of init's scope). Per-block checkpointing is
+            # what lets the z-space pullback fit a 16G chip at production
+            # width: without it the 4096-token attention levels pin ~5G of
+            # f32 logits as linearize residuals (BENCH.md round 3).
+            policy = None
+            if cfg.remat_policy == "dots_no_batch":
+                # keep weight-matmul outputs (projections — a few MB/block),
+                # recompute only batched dots (attention logits/attn@v): less
+                # recompute in the pullback's tangent/cotangent passes at a
+                # small fraction of the memory the full residuals would pin
+                policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            elif cfg.remat_policy is not None:
+                raise ValueError(f"unknown remat_policy {cfg.remat_policy!r}")
+            _remat_call = nn.remat(lambda m, *a: m(*a), policy=policy)
+            block = lambda m, *a: _remat_call(m, *a)  # noqa: E731
+        else:
+            block = lambda m, *a: m(*a)  # noqa: E731
 
         h = _conv(ch0, dtype=cfg.dtype, name="conv_in")(x.astype(cfg.dtype))
         skips = [h]

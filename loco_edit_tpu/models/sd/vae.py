@@ -107,17 +107,26 @@ class VAEDecoder(nn.Module):
     def __call__(self, z):
         cfg = self.cfg
         chs = cfg.block_out_channels
+        if cfg.remat:
+            # lifted per-block checkpoint (same pattern as SDUNet): recompute
+            # block internals in the pullback's tangent/cotangent passes
+            # instead of pinning 512px f32 temps as linearize residuals
+            _remat_call = nn.remat(lambda m, *a: m(*a))
+            block = lambda m, *a: _remat_call(m, *a)  # noqa: E731
+        else:
+            block = lambda m, *a: m(*a)  # noqa: E731
         h = _conv(cfg.latent_channels, kernel=1, dtype=cfg.dtype,
                   name="post_quant_conv")(z.astype(cfg.dtype))
         h = _conv(chs[-1], dtype=cfg.dtype, name="conv_in")(h)
         ch = chs[-1]
-        h = VAEResnet(ch, ch, cfg.dtype, name="mid_res_0")(h)
-        h = VAEAttention(ch, cfg.dtype, name="mid_attn")(h)
-        h = VAEResnet(ch, ch, cfg.dtype, name="mid_res_1")(h)
+        h = block(VAEResnet(ch, ch, cfg.dtype, name="mid_res_0"), h)
+        h = block(VAEAttention(ch, cfg.dtype, name="mid_attn"), h)
+        h = block(VAEResnet(ch, ch, cfg.dtype, name="mid_res_1"), h)
         for k, i in enumerate(reversed(range(len(chs)))):
             out_ch = chs[i]
             for j in range(cfg.layers_per_block + 1):
-                h = VAEResnet(ch, out_ch, cfg.dtype, name=f"up_{i}_res_{j}")(h)
+                h = block(VAEResnet(ch, out_ch, cfg.dtype,
+                                    name=f"up_{i}_res_{j}"), h)
                 ch = out_ch
             if k != len(chs) - 1:
                 h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)

@@ -8,6 +8,8 @@ deterministic fake prompt encoder — enough to exercise the full engines.
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 
@@ -67,13 +69,27 @@ def load_sd_bundle(args, lcm: bool = False):
     preset = os.environ.get("LOCO_SD_PRESET") or (
         "lcm-dreamshaper-v7" if lcm else "sd21-base")
     cfg = sd_preset(preset, dtype=dtype)
+    # remat: per-block jax.checkpoint. Semantically a no-op (pinned by
+    # tests/test_sd_models.py::test_remat_matches_no_remat_through_pullback)
+    # and free on the sampling path, but REQUIRED for the z-space pullback at
+    # production width on 16G chips: without it the 4096-token attention
+    # levels pin ~5G of f32 logits as linearize residuals across the whole
+    # subspace iteration (measured 21.5G/15.75G OOM, scripts/bench_t2i_basis.py)
+    cfg = dataclasses.replace(cfg, remat=True)
     model = SDUNet(cfg)
     ctx0 = jnp.zeros((1, 77, cfg.cross_attention_dim))
     z0 = jnp.zeros((1, cfg.sample_size, cfg.sample_size, 4))
     ex = (z0, 500.0, ctx0, 7.5) if lcm else (z0, 500.0, ctx0)
     params = _load_unet_params(model, args.checkpoint_path, ex)
 
-    vae_cfg = VAEConfig(sample_size=cfg.sample_size * 8)
+    # the VAE follows the compute dtype like the reference's fp16 T2I pipes
+    # (torch_dtype=float16 end to end, utils.py:138-176): an f32 512px decoder
+    # inside the pullback's 8-probe VJP needs >10G of HLO temps on its own and
+    # OOMs a 16G chip (measured, scripts/bench_t2i_basis.py)
+    # remat=True: decoder per-block checkpoint, required (with the UNet's) for
+    # the through-the-decoder pullback to fit 16G at 512px; no-op numerics
+    vae_cfg = VAEConfig(sample_size=cfg.sample_size * 8, dtype=dtype,
+                        remat=True)
     enc, pe, dec, pd = _load_vae(vae_cfg, getattr(args, "vae_path", ""))
 
     bundle = {

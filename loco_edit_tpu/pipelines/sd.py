@@ -24,6 +24,7 @@ from loco_edit_tpu.core.rng import RngStream
 from loco_edit_tpu.diffusion import LinspaceDDIM
 from loco_edit_tpu.diffusion.sampling import ddim_scan
 from loco_edit_tpu.editing import (
+    load_directions,
     normalize_rows,
     null_space_project,
     save_directions,
@@ -32,6 +33,25 @@ from loco_edit_tpu.editing import (
 )
 from loco_edit_tpu.editing.cfg import cfg_eps
 from loco_edit_tpu.utils.io import save_image_grid
+
+
+def _auto_probe_chunk(configured: int | None) -> int | None:
+    """Default probe chunk for z-space pullbacks THROUGH the VAE decoder.
+
+    On TPU an unset probe_chunk defaults to 2: the production-width basis
+    (SD 2.1 UNet + 512px decode, probes padded to the 8-sublane tile) needs
+    >21G of HLO temps unchunked and OOMs a 16G v5e even with per-block remat;
+    2-probe lax.map chunks + remat fit and measure 14.5 s / rank-5 / 10
+    sweeps (scripts/bench_t2i_basis.py). Pass --probe_chunk 8 on parts with
+    more HBM to re-batch the sweep."""
+    if configured is not None:
+        return configured
+    try:
+        if jax.default_backend() == "tpu":
+            return 2
+    except RuntimeError:
+        pass
+    return None
 
 
 @dataclasses.dataclass
@@ -176,12 +196,13 @@ class SDEditPipeline:
         f = self.pmp_through_decoder(prompts, mode)
         m = (jnp.ones((1, 1, 1, 1), jnp.float32) if mask is None
              else jnp.asarray(mask, jnp.float32))
+        chunk = _auto_probe_chunk(cfg.probe_chunk)
 
         def run(z, mw, key):
             return subspace_iteration(
                 f, z, key, rank=rank, mask=mw, min_iter=cfg.min_iter,
                 max_iter=cfg.max_iter, tol=cfg.convergence_threshold,
-                probe_chunk=cfg.probe_chunk)
+                probe_chunk=chunk)
 
         fn = self._jit(("basis", zt.shape, rank, mode, mask is not None),
                        lambda: jax.jit(run))
@@ -244,7 +265,20 @@ class SDEditPipeline:
 
         zt = self.generate(zT, prompts, "null+(for-null)", 0, self.edit_t_idx)
 
-        if semantic:
+        # basis memoization with the reference's all-or-nothing file semantics
+        # (edit.py:966-999 reloads u/vT-modify + u/vT-null when every file of
+        # the configured rank/edit_t exists, skipping the power iteration)
+        basis_dir = os.path.join(out_dir, "basis")
+        modify_path = os.path.join(
+            basis_dir, f"vT-modify-{cfg.edit_t}T-rank{cfg.pca_rank}.npz")
+        null_path = os.path.join(
+            basis_dir, f"vT-null-{cfg.edit_t}T-rank{cfg.pca_rank_null}.npz")
+        cached = (not semantic and os.path.exists(modify_path)
+                  and (not cfg.null_space_projection
+                       or os.path.exists(null_path)))
+        if cached:
+            vT_modify = jnp.asarray(load_directions(modify_path)[0])
+        elif semantic:
             vT_modify = self.delta_zt_via_grad(zt, prompts, mask,
                                                cfg.tilda_v_score_type)
         else:
@@ -252,13 +286,21 @@ class SDEditPipeline:
             vT_modify = jax.block_until_ready(self.extract_basis(
                 zt, prompts, "null+(for-null)", mask, cfg.pca_rank).vT)
             print(f"power method runtime == {time.time() - t0:.2f}s")
+            save_directions(modify_path, np.asarray(vT_modify),
+                            edit_t=cfg.edit_t)
 
         if cfg.null_space_projection:
             if mask is None:
                 raise ValueError("null-space projection requires a mask")
-            vT_null = self.extract_basis(zt, prompts, "null+(for-null)",
-                                         ~np.asarray(mask, bool),
-                                         cfg.pca_rank_null).vT
+            if cached:
+                vT_null = jnp.asarray(load_directions(null_path)[0])
+            else:
+                vT_null = self.extract_basis(zt, prompts, "null+(for-null)",
+                                             ~np.asarray(mask, bool),
+                                             cfg.pca_rank_null).vT
+                if not semantic:
+                    save_directions(null_path, np.asarray(vT_null),
+                                    edit_t=cfg.edit_t)
             vT = null_space_project(vT_modify, vT_null, cfg.pca_rank_null)
         else:
             vT = normalize_rows(vT_modify)
@@ -266,7 +308,7 @@ class SDEditPipeline:
         save_directions(os.path.join(out_dir, "basis", "vT.npz"),
                         np.asarray(vT), edit_t=cfg.edit_t)
 
-        strips = {}
+        strips, z0_strips = {}, {}
         for pc in range(min(cfg.vis_num_pc, vT.shape[0])):
             strip = x_space_guidance_strip(
                 jnp.asarray(zt), vT[pc], scale=cfg.x_space_guidance_scale,
@@ -280,8 +322,9 @@ class SDEditPipeline:
                 strip, cfg.memory_bound)
             img = self.decode_to_image(z0)
             strips[pc] = img
+            z0_strips[pc] = np.asarray(z0)
             if cfg.save_images:
                 save_image_grid(img, os.path.join(
                     out_dir, f"edit-zt-{cfg.edit_t}T-pc{pc:03d}.png"))
         return {"zt": np.asarray(zt), "vT": np.asarray(vT), "strips": strips,
-                "out_dir": out_dir}
+                "z0_strips": z0_strips, "out_dir": out_dir}

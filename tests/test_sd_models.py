@@ -179,3 +179,70 @@ def test_converter_structure_matches_init():
     assert not missing, f"converter missed: {sorted(missing)[:10]}"
     for k in want:
         assert got[k] == want[k], (k, got[k], want[k])
+
+
+def test_remat_matches_no_remat_through_pullback():
+    """cfg.remat wraps every block in jax.checkpoint — the production memory
+    knob for the z-space pullback at 512px, where the 4096-token attention
+    levels otherwise pin ~5G of f32 logits as linearize residuals for the
+    whole subspace iteration (measured OOM on a 16G chip,
+    scripts/bench_t2i_basis.py). Checkpointing is recompute-only: the forward
+    AND the iteration's tangent/cotangent numerics must be unchanged."""
+    import dataclasses
+
+    from loco_edit_tpu.editing import subspace_iteration
+
+    m0 = SDUNet(TINY)
+    x = jnp.zeros((1, 8, 8, 4))
+    ctx = (jax.random.normal(jax.random.key(2),
+                             (1, 7, TINY.cross_attention_dim)) * 0.1)
+    params = jax.jit(m0.init)(jax.random.key(0), x, 500.0, ctx)
+    z = jax.random.normal(jax.random.key(1), (1, 8, 8, 4))
+
+    def basis(m):
+        return subspace_iteration(
+            lambda zz: m.apply(params, zz, 300.0, ctx), z, jax.random.key(3),
+            rank=2, min_iter=3, max_iter=3, tol=0.0)
+
+    b0 = basis(m0)
+    y0 = np.asarray(m0.apply(params, z, 300.0, ctx))
+    # both policies: full recompute, and dots_no_batch (keeps projection
+    # outputs, recomputes only the batched attention dots)
+    for policy in (None, "dots_no_batch"):
+        mr = SDUNet(dataclasses.replace(TINY, remat=True, remat_policy=policy))
+        np.testing.assert_array_equal(
+            y0, np.asarray(mr.apply(params, z, 300.0, ctx)))
+        br = basis(mr)
+        np.testing.assert_allclose(np.asarray(br.vT), np.asarray(b0.vT),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(br.s), np.asarray(b0.s),
+                                   rtol=1e-5)
+
+
+def test_vae_decoder_remat_matches_through_pullback():
+    """VAEConfig.remat checkpoints every decoder block — together with the
+    UNet's it is what lets the through-the-decoder pullback fit 16G at 512px
+    (the probe_chunk=4 OOM was dominated by 128M-apiece f32 decoder jvp
+    temps). Param tree, forward, and subspace-iteration numerics must all be
+    unchanged."""
+    import dataclasses
+
+    from loco_edit_tpu.editing import subspace_iteration
+
+    d0 = VAEDecoder(TINY_VAE)
+    dr = VAEDecoder(dataclasses.replace(TINY_VAE, remat=True))
+    z = jax.random.normal(jax.random.key(0), (1, 8, 8, 4))
+    params = jax.jit(d0.init)(jax.random.key(1), z)
+    assert (jax.tree.structure(jax.jit(dr.init)(jax.random.key(1), z))
+            == jax.tree.structure(params))
+    np.testing.assert_array_equal(np.asarray(d0.apply(params, z)),
+                                  np.asarray(dr.apply(params, z)))
+
+    def basis(d):
+        return subspace_iteration(
+            lambda zz: d.apply(params, zz), z, jax.random.key(2),
+            rank=2, min_iter=3, max_iter=3, tol=0.0)
+
+    b0, br = basis(d0), basis(dr)
+    np.testing.assert_allclose(np.asarray(br.vT), np.asarray(b0.vT), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(br.s), np.asarray(b0.s), rtol=1e-5)
