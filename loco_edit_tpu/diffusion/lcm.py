@@ -69,10 +69,15 @@ def lcm_denoised(sample: jnp.ndarray, eps_pred: jnp.ndarray, grid: LCMGrid,
 
 
 def lcm_scan(eps_fn, z: jnp.ndarray, grid: LCMGrid, rng_key: jax.Array,
-             start_idx: int = 0, end_idx: int | None = None):
+             start_idx: int = 0, end_idx: int | None = None, noise_fn=None):
     """Run LCM steps [start_idx, end_idx); returns (z_next, denoised_last).
     Re-noising uses a fresh key per step; the final grid step returns
-    denoised directly (diffusers LCMScheduler.step semantics)."""
+    denoised directly (diffusers LCMScheduler.step semantics).
+
+    noise_fn(step_idx, shape, dtype) -> array overrides the inter-step noise
+    draw — the whole-pipeline golden injects the SAME noise into this scan
+    and the reference engine's scheduler.step so the stochastic consistency
+    sampler can be compared pointwise (tests/test_reference_golden_lcm.py)."""
     s = len(grid)
     end = s if end_idx in (None, -1) else end_idx
     z_cur, den = z, z
@@ -80,8 +85,11 @@ def lcm_scan(eps_fn, z: jnp.ndarray, grid: LCMGrid, rng_key: jax.Array,
         eps = eps_fn(z_cur, jnp.asarray(float(grid.t[i])))
         den = lcm_denoised(z_cur, eps, grid, i)
         if i != s - 1:
-            noise = jax.random.normal(jax.random.fold_in(rng_key, i),
-                                      z_cur.shape, z_cur.dtype)
+            if noise_fn is not None:
+                noise = jnp.asarray(noise_fn(i, z_cur.shape, z_cur.dtype))
+            else:
+                noise = jax.random.normal(jax.random.fold_in(rng_key, i),
+                                          z_cur.shape, z_cur.dtype)
             abp = jnp.asarray(grid.alpha_bar_prev[i], z_cur.dtype)
             z_cur = jnp.sqrt(abp) * den + jnp.sqrt(1.0 - abp) * noise
         else:

@@ -69,6 +69,9 @@ class LCMEditPipeline:
         self.latent_shape = latent_shape
         self.grid = grid or lcm_grid(cfg.num_inference_steps)
         self.w = cfg.guidance_scale - 1.0
+        # test hook: deterministic inter-step noise for cross-implementation
+        # goldens (noise_fn(step_idx, shape, dtype); None = fresh JAX keys)
+        self.noise_fn = None
         self._emb_cache: dict[str, jnp.ndarray] = {}
         self._jit_cache: dict = {}
         os.makedirs(cfg.result_folder, exist_ok=True)
@@ -99,7 +102,8 @@ class LCMEditPipeline:
         f = self._eps_fn(prompt)
         key = ("fwd", z.shape[0], prompt, start_idx, end_idx)
         fn = self._jit(key, lambda: jax.jit(
-            lambda zz, k: lcm_scan(f, zz, self.grid, k, start_idx, end_idx)))
+            lambda zz, k: lcm_scan(f, zz, self.grid, k, start_idx, end_idx,
+                                   noise_fn=self.noise_fn)))
         # fresh inter-step noise per call: repeated/chunked forward passes
         # must not share the stochastic consistency-sampler stream
         self._noise_calls = getattr(self, "_noise_calls", 0) + 1
@@ -125,20 +129,31 @@ class LCMEditPipeline:
 
         return g
 
-    def extract_basis(self, zt, prompt: str, mask, rank: int):
+    def extract_basis(self, zt, prompt: str, mask, rank: int, v_init=None):
         cfg = self.cfg
         g = self.consistency_x0_fn(prompt, cfg.edit_t_idx)
         m = (jnp.ones((1, 1, 1, 1), jnp.float32) if mask is None
              else jnp.asarray(mask, jnp.float32))
 
+        # same through-the-decoder pullback as the SD engine -> same 16G HBM
+        # ceiling; TPU default probe_chunk=2 (see pipelines/sd.py)
+        from loco_edit_tpu.pipelines.sd import _auto_probe_chunk
+
+        chunk = _auto_probe_chunk(cfg.probe_chunk)
+
         def run(z, mw, key):
             return subspace_iteration(
                 g, z, key, rank=rank, mask=mw, min_iter=cfg.min_iter,
                 max_iter=cfg.max_iter, tol=cfg.convergence_threshold,
-                probe_chunk=cfg.probe_chunk)
+                probe_chunk=chunk,
+                # matched-probe starts for cross-implementation goldens
+                pad_probes=v_init is None, v_init=v_init)
 
-        fn = self._jit(("basis", zt.shape, rank, prompt, mask is not None),
-                       lambda: jax.jit(run))
+        if v_init is not None:   # probe-matched runs: don't cache on stale probes
+            fn = jax.jit(run)
+        else:
+            fn = self._jit(("basis", zt.shape, rank, prompt, mask is not None),
+                           lambda: jax.jit(run))
         return fn(jnp.asarray(zt), m, self.rng.fork(f"lcm-probes-{rank}").key)
 
     def delta_zt_via_grad(self, zt, for_prompt: str, edit_prompt: str,
@@ -220,4 +235,4 @@ class LCMEditPipeline:
             save_image_grid(img, os.path.join(
                 out_dir, f"edit-lcm-idx{cfg.edit_t_idx}.png"))
         return {"zt": np.asarray(zt), "vT": np.asarray(vT), "image": img,
-                "out_dir": out_dir}
+                "denoised": np.asarray(den), "out_dir": out_dir}
