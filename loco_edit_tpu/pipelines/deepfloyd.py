@@ -28,6 +28,7 @@ from loco_edit_tpu.diffusion import LinspaceDDIM
 from loco_edit_tpu.diffusion.sampling import ddim_scan
 from loco_edit_tpu.diffusion.scheduler import ddim_step
 from loco_edit_tpu.editing import (
+    load_directions,
     normalize_rows,
     null_space_project,
     save_directions,
@@ -275,7 +276,21 @@ class IFEditPipeline:
                 save_image_grid(img, os.path.join(out_dir, "diffedit.png"))
             return {"image": img}
 
-        if semantic:
+        # basis memoization with the reference's all-or-nothing file
+        # semantics (edit.py:1790-1810 reloads u/vT-modify + u/vT-null when
+        # every file of the configured rank/edit_t/mask exists, skipping the
+        # power iteration on the resumed run)
+        basis_dir = os.path.join(out_dir, "basis")
+        modify_path = os.path.join(
+            basis_dir, f"vT-modify-{cfg.edit_t}T-rank{cfg.pca_rank}.npz")
+        null_path = os.path.join(
+            basis_dir, f"vT-null-{cfg.edit_t}T-rank{cfg.pca_rank_null}.npz")
+        cached = (not semantic and os.path.exists(modify_path)
+                  and (not cfg.null_space_projection
+                       or os.path.exists(null_path)))
+        if cached:
+            vT_modify = jnp.asarray(load_directions(modify_path)[0])
+        elif semantic:
             if cfg.jacobian:
                 vT_modify = self.delta_xt_via_grad(xt, prompts, mask,
                                                    cfg.tilda_v_score_type)
@@ -287,13 +302,21 @@ class IFEditPipeline:
             vT_modify = jax.block_until_ready(self.extract_basis(
                 xt, prompts, "null+(for-null)", mask, cfg.pca_rank).vT)
             print(f"power method runtime == {time.time() - t0:.2f}s")
+            save_directions(modify_path, np.asarray(vT_modify),
+                            edit_t=cfg.edit_t)
 
         if cfg.null_space_projection:
             if mask is None:
                 raise ValueError("null-space projection requires a mask")
-            vT_null = self.extract_basis(xt, prompts, "null+(for-null)",
-                                         ~np.asarray(mask, bool),
-                                         cfg.pca_rank_null).vT
+            if cached:
+                vT_null = jnp.asarray(load_directions(null_path)[0])
+            else:
+                vT_null = self.extract_basis(xt, prompts, "null+(for-null)",
+                                             ~np.asarray(mask, bool),
+                                             cfg.pca_rank_null).vT
+                if not semantic:
+                    save_directions(null_path, np.asarray(vT_null),
+                                    edit_t=cfg.edit_t)
             vT = null_space_project(vT_modify, vT_null, cfg.pca_rank_null)
         else:
             vT = normalize_rows(vT_modify)
