@@ -99,6 +99,10 @@ def parse_args(argv=None):
 
     # memory / execution
     add("--memory_bound", type=int, default=0, help="0 = no batch chunking")
+    add("--pixel_output", type=str2bool, default=False,
+        help="convert edited strips to uint8 pixels ON DEVICE before the "
+             "host pull (4x smaller transfer; the strips are the PNG "
+             "payload either way)")
     add("--probe_chunk", type=int, default=0, help="0 = all probes batched")
     add("--mesh_probe", type=int, default=0,
         help="shard probes over this many devices (0 = single device)")

@@ -53,6 +53,7 @@ def build_uncond_pipeline(args):
         probe_chunk=args.probe_chunk or None,
         mesh_probe=args.mesh_probe,
         memory_bound=args.memory_bound,
+        pixel_output=args.pixel_output,
         result_folder=args.result_folder,
     )
     scheduler = LinspaceDDIM(noise_schedule=args.noise_schedule)

@@ -27,6 +27,7 @@ from loco_edit_tpu.core.rng import RngStream
 from loco_edit_tpu.diffusion import LinspaceDDIM, ddim_generate, ddim_invert
 from loco_edit_tpu.editing import (
     EditBasis,
+    dual_subspace_iteration,
     load_directions,
     null_space_project,
     normalize_rows,
@@ -37,6 +38,17 @@ from loco_edit_tpu.editing import (
 from loco_edit_tpu.editing.pullback import eps_pullback_fn, pmp_pullback_fn
 from loco_edit_tpu.models.base import Denoiser
 from loco_edit_tpu.utils.io import save_image_grid
+
+
+def _padded_probe_count(rank: int) -> int:
+    """Probe count a solo extraction would execute for `rank` (the 8-sublane
+    tile padding of subspace_iteration on TPU, identity elsewhere) — the
+    fused dual extraction is only used when both groups agree."""
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except RuntimeError:
+        on_tpu = False
+    return -(-rank // 8) * 8 if on_tpu else rank
 
 
 @dataclasses.dataclass
@@ -65,6 +77,12 @@ class UncondEditConfig:
     probe_chunk: int | None = None
     mesh_probe: int = 0          # shard probes over this many devices (0 = off)
     memory_bound: int = 0        # chunk strip denoise batches (0 = no chunking)
+    # Return edited strips as uint8 pixels, converted ON DEVICE (the exact
+    # PNG payload; reference buffers uint8 chunks in its IF sampler,
+    # edit.py:1450-1475). 4x smaller device->host pull — ~1 s/edit on the
+    # tunneled dev chip (bench_e2e_breakdown.py). Off by default: float
+    # strips remain the raw API output (golden tests compare them).
+    pixel_output: bool = False
     result_folder: str = "./runs"
     save_images: bool = True
 
@@ -188,6 +206,33 @@ class UncondEditPipeline:
             m = jnp.ones_like(jnp.asarray(xt), jnp.float32)
         return fn(jnp.asarray(xt), m, self.rng.fork(f"probes-r{rank}").key)
 
+    def extract_dual_basis(self, xt: jnp.ndarray, mask: np.ndarray,
+                           rank: int, rank_null: int):
+        """Mask + complement-mask bases of the SAME Jacobian in one program
+        (dual_subspace_iteration): shares the hoisted linearization and fuses
+        both probe groups into one tangent/cotangent batch — on TPU two
+        rank-5 runs each pad to an 8-probe tile, while the fused 16-probe
+        batch costs about one padded-16 run (BENCH.md rank-10 row). Matches
+        two extract_basis calls (same probe keys) at a fixed sweep budget."""
+        cfg = self.cfg
+        f = self.pullback_fn(None)
+
+        def build():
+            def run(x, mw, ka, kb):
+                return dual_subspace_iteration(
+                    f, x, ka, kb, rank_a=rank, rank_b=rank_null,
+                    mask_a=mw, mask_b=1.0 - mw,
+                    min_iter=cfg.min_iter, max_iter=cfg.max_iter,
+                    tol=cfg.convergence_threshold,
+                    probe_chunk=cfg.probe_chunk)
+            return jax.jit(run)
+
+        fn = self._jit(("dual-basis", xt.shape, rank, rank_null), build)
+        m = jnp.asarray(np.asarray(mask, np.float32))
+        return fn(jnp.asarray(xt), m,
+                  self.rng.fork(f"probes-r{rank}").key,
+                  self.rng.fork(f"probes-r{rank_null}").key)
+
     # -- the flagship experiment ----------------------------------------------
 
     def run_edit_null_space_projection(
@@ -222,8 +267,32 @@ class UncondEditPipeline:
             mod_path = os.path.join(basis_dir, f"vT-modify-rank-{cfg.pca_rank}.npz")
             null_path = os.path.join(basis_dir, f"vT-null-{cfg.pca_rank_null}.npz")
 
+            # When BOTH bases must be computed fresh, fuse them into one
+            # program on the shared Jacobian (see extract_dual_basis); the
+            # cached / single-basis / probe-sharded cases keep separate runs.
+            vT_null_pre = None
+            use_dual = (
+                cfg.null_space_projection and mask is not None
+                and cfg.mesh_probe <= 1
+                and not os.path.exists(mod_path)
+                and not os.path.exists(null_path)
+                and _padded_probe_count(cfg.pca_rank)
+                == _padded_probe_count(cfg.pca_rank_null))
+
             if os.path.exists(mod_path):
                 vT_modify = jnp.asarray(load_directions(mod_path)[0])
+            elif use_dual:
+                t0 = time.time()
+                basis, nbasis = self.extract_dual_basis(
+                    xt, mask, cfg.pca_rank, cfg.pca_rank_null)
+                vT_modify = jax.block_until_ready(basis.vT)
+                vT_null_pre = nbasis.vT
+                print(f"power method runtime == {time.time() - t0:.2f}s "
+                      f"({int(basis.iters)} iters, fused modify+null)")
+                save_directions(mod_path, np.asarray(vT_modify),
+                                edit_t=cfg.edit_t, rank=cfg.pca_rank)
+                save_directions(null_path, np.asarray(vT_null_pre),
+                                edit_t=cfg.edit_t, rank=cfg.pca_rank_null)
             else:
                 t0 = time.time()
                 basis = self.extract_basis(xt, mask, cfg.pca_rank)
@@ -240,7 +309,9 @@ class UncondEditPipeline:
             if cfg.null_space_projection:
                 if mask is None:
                     raise ValueError("null-space projection requires a mask")
-                if os.path.exists(null_path):
+                if vT_null_pre is not None:
+                    vT_null = vT_null_pre
+                elif os.path.exists(null_path):
                     vT_null = jnp.asarray(load_directions(null_path)[0])
                 else:
                     t0 = time.time()
@@ -277,9 +348,13 @@ class UncondEditPipeline:
             for pc in range(n_pc)]
         strips = {}
         if n_pc:
-            edited_all = np.asarray(self.generate_chunked(
+            edited_dev = self.generate_chunked(
                 jnp.concatenate(per_pc, axis=0), self.edit_t_idx, None,
-                boost=True))
+                boost=True)
+            if cfg.pixel_output:
+                from loco_edit_tpu.utils.io import to_uint8_pixels_device
+                edited_dev = to_uint8_pixels_device(edited_dev)
+            edited_all = np.asarray(edited_dev)
             offset = 0
             for pc, s in enumerate(per_pc):
                 strips[pc] = edited_all[offset:offset + s.shape[0]]
@@ -308,6 +383,9 @@ class UncondEditPipeline:
             frames.append(cur)
         strip = jnp.concatenate(frames, axis=0)
         edited = self.generate_chunked(strip, self.edit_t_idx, None, boost=True)
+        if cfg.pixel_output:
+            from loco_edit_tpu.utils.io import to_uint8_pixels_device
+            edited = to_uint8_pixels_device(edited)
         if cfg.save_images:
             out_dir = os.path.join(cfg.result_folder, sample_name)
             save_image_grid(np.asarray(edited),

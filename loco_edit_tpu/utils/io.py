@@ -17,9 +17,24 @@ def to_uint8(x: np.ndarray) -> np.ndarray:
     return (x * 255.0 + 0.5).astype(np.uint8)
 
 
+def to_uint8_pixels_device(x):
+    """to_uint8 as an on-device jnp op (round-half-up identical to the numpy
+    path): converting edited strips to their final PNG payload BEFORE the
+    host pull cuts the device->host transfer 4x — on the tunneled dev chip
+    that transfer runs at ~35 MB/s and costs ~1 s per 45-frame 256px f32
+    strip set (scripts/bench_e2e_breakdown.py). Mirrors the reference's own
+    uint8 chunk buffering in the IF sampler (edit.py:1450-1475)."""
+    import jax.numpy as jnp
+
+    y = jnp.clip(x.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
+    return jnp.floor(y * 255.0 + 0.5).astype(jnp.uint8)
+
+
 def save_image_grid(x: np.ndarray, path: str, nrow: int | None = None) -> None:
-    """x: (B, H, W, C) in [-1, 1]. nrow = images per row (default: all)."""
-    arr = to_uint8(x)
+    """x: (B, H, W, C) in [-1, 1] floats, or already-converted uint8 pixels
+    (saved as-is)."""
+    arr = np.asarray(x)
+    arr = arr if arr.dtype == np.uint8 else to_uint8(arr)
     b, h, w, c = arr.shape
     nrow = b if nrow is None else nrow
     ncol = (b + nrow - 1) // nrow

@@ -55,6 +55,11 @@ def main():
         x_space_guidance_num_step=16, vis_num=4, vis_num_pc=5,
         pca_rank=5, pca_rank_null=5, null_space_projection=True,
         min_iter=9, max_iter=10, convergence_threshold=0.0,
+        # strips materialize as their final uint8 PNG payload, converted on
+        # device (to_uint8_pixels_device): the f32 pull costs ~1 s through
+        # this dev chip's ~35 MB/s tunnel (bench_e2e_breakdown.py) and the
+        # uint8 pixels ARE the artifact the edit produces
+        pixel_output=True,
         result_folder=td, save_images=False)
     pipe = UncondEditPipeline(den, cfg, seed_everything(7))
 

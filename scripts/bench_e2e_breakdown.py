@@ -1,0 +1,125 @@
+"""Stage-level breakdown of the flagship E2E edit on the real TPU.
+
+Times each stage of run_edit_null_space_projection separately (every stage
+blocked to the host before the clock stops) so the E2E total in
+scripts/bench_e2e.py can be attributed: 40-step forward to edit_t, fused
+modify+null basis extraction, walk-strip assembly, boost-tail strip denoise
+(3 x batch-16 chunks), and the residual host overhead (npz basis saves,
+array conversion, dispatch).
+
+Usage: python scripts/bench_e2e_breakdown.py   (stderr details, one JSON line)
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    from loco_edit_tpu.core.rng import seed_everything
+    from loco_edit_tpu.editing import x_space_guidance_strip
+    from loco_edit_tpu.models.adm import ADMUNet, adm_preset
+    from loco_edit_tpu.models.base import Denoiser
+    from loco_edit_tpu.pipelines import UncondEditConfig, UncondEditPipeline
+
+    log("devices:", jax.devices())
+    cfg_m = adm_preset("FFHQ_P2", dtype=jnp.bfloat16)
+    model = ADMUNet(cfg_m)
+    x0 = jnp.zeros((1, 256, 256, 3), jnp.float32)
+    params = jax.jit(model.init)(jax.random.key(0), x0, 500.0)
+    den = Denoiser(eps_fn=lambda z, t: model.apply(params, z, t),
+                   sample_shape=(256, 256, 3))
+
+    td = tempfile.mkdtemp(prefix="bench_e2e_bd_")
+    cfg = UncondEditConfig(
+        for_steps=100, inv_steps=100, edit_t=0.6, performance_boosting_t=0.2,
+        x_space_guidance_scale=0.5, x_space_guidance_edit_step=1.0,
+        x_space_guidance_num_step=16, vis_num=4, vis_num_pc=5,
+        pca_rank=5, pca_rank_null=5, null_space_projection=True,
+        min_iter=9, max_iter=10, convergence_threshold=0.0,
+        result_folder=td, save_images=False)
+    pipe = UncondEditPipeline(den, cfg, seed_everything(7))
+
+    key = jax.random.key(1)
+    xT = jnp.asarray(jax.random.normal(key, (1, 256, 256, 3), jnp.float32))
+    mask = np.asarray(jax.random.uniform(
+        jax.random.fold_in(key, 1), (1, 256, 256, 3)) < 0.2)
+
+    def timed(name, fn, n=3):
+        """fn must MATERIALIZE its result to host numpy and return it —
+        block_until_ready through the axon tunnel under-reports (the round-2
+        E2E artifact, CLAUDE.md): this very script measured two 8-probe
+        10-sweep basis programs at '0.022s' when blocked-not-materialized."""
+        r = fn()  # warm (compile)
+        assert isinstance(r, np.ndarray) or all(
+            isinstance(x, np.ndarray) for x in r), f"{name}: not materialized"
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        best = min(ts)
+        log(f"{name}: {best:.3f}s (runs {[f'{t:.3f}' for t in ts]})")
+        return best
+
+    stages = {}
+
+    stages["forward_to_edit_t"] = timed(
+        "forward xT->0.6T (40 steps, batch 1)",
+        lambda: np.asarray(pipe.generate(xT, 0, pipe.edit_t_idx)))
+    xt = jnp.asarray(pipe.generate(xT, 0, pipe.edit_t_idx))
+
+    stages["dual_basis"] = timed(
+        "fused modify+null basis (2x rank-5 -> 16 probes, 10 sweeps)",
+        lambda: np.asarray(pipe.extract_dual_basis(xt, mask, 5, 5)[0].vT))
+    b_m, b_n = pipe.extract_dual_basis(xt, mask, 5, 5)
+
+    stages["separate_bases"] = timed(
+        "separate bases (2 programs of 8 probes, for comparison)",
+        lambda: (np.asarray(pipe.extract_basis(xt, mask, 5).vT),
+                 np.asarray(pipe.extract_basis(xt, ~mask, 5).vT)))
+
+    from loco_edit_tpu.editing import null_space_project
+    vT = null_space_project(b_m.vT, b_n.vT, 5)
+
+    def walks():
+        per_pc = [x_space_guidance_strip(
+            xt, vT[pc], scale=0.5, edit_step=1.0, num_steps=16, vis_num=4)
+            for pc in range(5)]
+        return np.asarray(jnp.concatenate(per_pc, axis=0))
+
+    stages["walk_strips"] = timed("walk-strip assembly (5 PCs)", walks)
+    strip = jnp.asarray(walks())
+
+    stages["strip_denoise"] = timed(
+        "boost-tail strip denoise (45 frames, 59 steps, 16-chunked)",
+        lambda: np.asarray(pipe.generate_chunked(
+            strip, pipe.edit_t_idx, None, boost=True)), n=2)
+
+    total = sum(v for k, v in stages.items() if k != "separate_bases")
+    log(f"stage sum (fused basis, no host saves): {total:.3f}s")
+    print(json.dumps({"metric": "flagship_e2e_stage_breakdown",
+                      "unit": "s", "stages": {k: round(v, 3)
+                                              for k, v in stages.items()},
+                      "stage_sum": round(total, 3)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -187,3 +187,51 @@ def test_probe_padding_preserves_top_subspace():
     np.testing.assert_allclose(align_true, 1.0, atol=1e-3)
     np.testing.assert_allclose(np.asarray(b_pad.s), np.asarray(b_raw.s),
                                rtol=1e-3)
+
+
+def test_dual_iteration_matches_two_separate_runs():
+    """Fused modify+null extraction (dual_subspace_iteration) equals two
+    solo subspace_iteration calls at a fixed sweep budget — including the
+    probe-padding path both would take on TPU (forced on here via
+    pad_probes=True so the tile logic is exercised on CPU)."""
+    from loco_edit_tpu.editing import dual_subspace_iteration
+
+    m, _, _ = _linear_map_with_gaps(jax.random.key(20))
+    f = lambda x: (m @ x.reshape(-1)).reshape(SHAPE)
+    x = jax.random.normal(jax.random.key(21), SHAPE) * 0.1
+    mask = (jax.random.uniform(jax.random.key(22), SHAPE) > 0.6).astype(jnp.float32)
+    ka, kb = jax.random.key(23), jax.random.key(24)
+    kw = dict(min_iter=6, max_iter=6, tol=0.0)  # fixed budget -> exact match
+
+    for pad in (False, True):
+        ba, bb = dual_subspace_iteration(
+            f, x, ka, kb, rank_a=5, rank_b=5, mask_a=mask, mask_b=1.0 - mask,
+            pad_probes=pad, **kw)
+        sa = subspace_iteration(f, x, ka, rank=5, mask=mask,
+                                pad_probes=pad, **kw)
+        sb = subspace_iteration(f, x, kb, rank=5, mask=1.0 - mask,
+                                pad_probes=pad, **kw)
+        for fused, solo in ((ba, sa), (bb, sb)):
+            np.testing.assert_allclose(np.asarray(fused.vT),
+                                       np.asarray(solo.vT), atol=1e-5)
+            np.testing.assert_allclose(np.asarray(fused.s),
+                                       np.asarray(solo.s), rtol=1e-5)
+            np.testing.assert_allclose(np.asarray(fused.u),
+                                       np.asarray(solo.u), atol=1e-5)
+
+
+def test_dual_iteration_probe_chunking_matches():
+    from loco_edit_tpu.editing import dual_subspace_iteration
+
+    m, _, _ = _linear_map_with_gaps(jax.random.key(25))
+    f = lambda x: (m @ x.reshape(-1)).reshape(SHAPE)
+    x = jnp.zeros(SHAPE)
+    mask = (jax.random.uniform(jax.random.key(26), SHAPE) > 0.4).astype(jnp.float32)
+    ka, kb = jax.random.key(27), jax.random.key(28)
+    kw = dict(rank_a=3, rank_b=4, mask_a=mask, mask_b=1.0 - mask,
+              min_iter=4, max_iter=4, tol=0.0, pad_probes=False)
+    b1 = dual_subspace_iteration(f, x, ka, kb, **kw)
+    b2 = dual_subspace_iteration(f, x, ka, kb, probe_chunk=3, **kw)
+    for u1, u2 in zip(b1, b2):
+        np.testing.assert_allclose(np.asarray(u1.vT), np.asarray(u2.vT),
+                                   atol=1e-5)

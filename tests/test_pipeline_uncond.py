@@ -163,3 +163,24 @@ def test_no_null_projection_variant(pipeline_factory):
     x0 = np.random.default_rng(3).normal(size=(1, 32, 32, 3)).astype(np.float32) * 0.3
     out = pipe.run_edit_null_space_projection(x0=x0, mask=None, sample_name="s3")
     np.testing.assert_allclose(np.linalg.norm(out["vT"], axis=1), 1.0, rtol=1e-4)
+
+
+def test_pixel_output_matches_float_strips(pipeline_factory):
+    """pixel_output=True returns the strips as on-device-converted uint8
+    pixels equal to the host to_uint8 of the float strips (the PNG payload,
+    4x smaller device->host pull)."""
+    from loco_edit_tpu.utils.io import to_uint8
+
+    x0 = np.random.default_rng(3).normal(size=(1, 32, 32, 3)).astype(np.float32) * 0.3
+    mask = np.zeros((1, 32, 32, 3), bool)
+    mask[:, 8:20, 8:20, :] = True
+    pipe_f, _ = pipeline_factory(save_images=False)
+    pipe_u, _ = pipeline_factory(save_images=False, pixel_output=True)
+    out_f = pipe_f.run_edit_null_space_projection(x0=x0, mask=mask,
+                                                  sample_name="f")
+    out_u = pipe_u.run_edit_null_space_projection(x0=x0, mask=mask,
+                                                  sample_name="u")
+    for pc in out_f["strips"]:
+        got = out_u["strips"][pc]
+        assert got.dtype == np.uint8
+        np.testing.assert_array_equal(got, to_uint8(out_f["strips"][pc]))

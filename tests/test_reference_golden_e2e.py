@@ -338,3 +338,45 @@ def test_final_edited_strip_matches_reference_shared_direction(
         edit_step=1.0, num_steps=NUM_STEP, vis_num=VIS_NUM))
     np.testing.assert_allclose(pre_ours, _nchw_to_nhwc(captured["pre"].numpy()),
                                atol=3e-3)
+
+
+def test_group_edit_matches_reference(shared, tmp_path, cpu_cuda_patch):
+    """Direction composition (group_edit_null_space_projection,
+    edit.py:2171-2212): both engines invert the image, load the SAME two
+    saved directions, apply each full walk offset cumulatively
+    (xt += scale * num_step * v_k), and denoise the 3-frame
+    [original, +v0, +v0+v1] strip to completion — final pixels must match."""
+    rng = np.random.default_rng(13)
+    rows_chw = rng.normal(size=(2, 3 * 32 * 32)).astype(np.float32)
+    rows_chw /= np.linalg.norm(rows_chw, axis=1, keepdims=True)
+    pt_paths, npz_paths = [], []
+    for i in range(2):
+        p_pt = str(tmp_path / f"dir{i}.pt")
+        torch.save(torch.from_numpy(rows_chw[i:i + 1]), p_pt)
+        pt_paths.append(p_pt)
+        p_npz = str(tmp_path / f"dir{i}.npz")
+        save_directions(p_npz, _flat_chw_to_hwc(rows_chw[i:i + 1]),
+                        edit_t=EDIT_T)
+        npz_paths.append(p_npz)
+
+    eng = _make_ref_engine(shared, tmp_path, pt_paths[0])
+    eng.vT1_path = pt_paths[1]
+    captured = {}
+    orig_fwd = eng.DDIMforwardsteps
+
+    def _fwd(xt, t_start_idx, t_end_idx, **kw):
+        out = orig_fwd(xt, t_start_idx=t_start_idx, t_end_idx=t_end_idx, **kw)
+        if t_end_idx == -1:
+            captured["post"] = out.clone()
+        return out
+
+    eng.DDIMforwardsteps = _fwd
+    with torch.no_grad():
+        eng.group_edit_null_space_projection(idx=0)
+    strip_ref = _nchw_to_nhwc(captured["post"].numpy())
+
+    pipe = _make_ours(shared, tmp_path / "ours")
+    xT = np.asarray(pipe.invert(jnp.asarray(shared.x0_nhwc)))
+    strip = pipe.group_edit(xT, npz_paths, sample_name="group")
+    assert strip.shape == strip_ref.shape
+    np.testing.assert_allclose(strip, strip_ref, atol=5e-3)
