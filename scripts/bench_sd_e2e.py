@@ -1,0 +1,130 @@
+"""Full T-LOCO Stable Diffusion edit E2E at PRODUCTION width on the real TPU.
+
+The reference's flagship T2I protocol (EditStableDiffusion
+run_edit_null_space_projection_zt_semantic, edit.py:1044-1173; canonical
+flags from scripts/main_T2I_StableDiffusion_null_space_projection.sh:
+edit_t 0.7, semantic prompt-delta direction, rank-5 null basis,
+x_space_guidance_num_step 1) end to end at the real SD 2.1-base geometry
+(865.9M-param UNet, bf16, synthetic params — timing is weight-independent):
+
+  seeded zT -> 100-step CFG generation "null+(for-null)" to 0.7T (the first
+  30 steps) -> semantic delta direction (one VJP of the prompt-delta against
+  the PMP THROUGH the 512px VAE decoder) -> rank-5 complement-mask null
+  basis (10 fixed sweeps, probe_chunk=2 + per-block remat — the 16G-HBM
+  recipe, BENCH.md round 3) -> null projection -> x-space walk strip (3
+  frames) -> 70-step CFG completion -> 512px VAE decode, all strips
+  materialized to host before the clock stops.
+
+The A100 reference measures minutes for this protocol (its basis extraction
+alone prints tens of seconds to minutes). stderr: details; stdout: one JSON.
+"""
+
+import dataclasses
+import json
+import os
+import sys
+import tempfile
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def cheap_params(model, *ex):
+    shapes = jax.eval_shape(model.init, jax.random.key(0), *ex)
+
+    def leaf(path, s):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        fill = 1.0 if name == "scale" else 0.01
+        return jnp.full(s.shape, fill, s.dtype)
+
+    return jax.tree_util.tree_map_with_path(leaf, shapes)
+
+
+def main():
+    from loco_edit_tpu.core.rng import seed_everything
+    from loco_edit_tpu.models.sd import (SDUNet, VAEConfig, VAEDecoder,
+                                         sd_preset)
+    from loco_edit_tpu.pipelines.sd import SDEditConfig, SDEditPipeline
+
+    log("devices:", jax.devices())
+    dtype = jnp.bfloat16
+    ucfg = dataclasses.replace(sd_preset("sd21-base", dtype=dtype), remat=True)
+    unet = SDUNet(ucfg)
+    z_ex = jnp.zeros((1, 64, 64, 4), dtype)
+    ctx_ex = jnp.zeros((1, 77, 1024), dtype)
+    uparams = cheap_params(unet, z_ex, jnp.zeros((1,)), ctx_ex)
+    n_params = sum(x.size for x in jax.tree.leaves(uparams))
+    log(f"UNet params: {n_params / 1e6:.1f}M (bf16, remat)")
+
+    vcfg = VAEConfig(dtype=dtype, remat=True)
+    vae = VAEDecoder(vcfg)
+    vparams = cheap_params(vae, z_ex)
+
+    def unet_apply(z, t, context):
+        tt = jnp.broadcast_to(jnp.asarray(t, jnp.float32), (z.shape[0],))
+        return unet.apply(uparams, z.astype(dtype), tt, context.astype(dtype))
+
+    def decode(z):
+        return vae.apply(vparams, z.astype(dtype))
+
+    ctx = jax.random.normal(jax.random.key(3), (1, 77, 1024), jnp.float32) * 0.2
+    prompt_encoder = lambda prompt: jnp.asarray(  # noqa: E731
+        ctx + 0.01 * (len(prompt) % 7), dtype)
+
+    td = tempfile.mkdtemp(prefix="bench_sd_")
+    cfg = SDEditConfig(
+        for_steps=100, inv_steps=100, edit_t=0.7,
+        guidance_scale=7.5, guidance_scale_edit=4.0,
+        x_space_guidance_scale=8.0, x_space_guidance_num_step=1, vis_num=1,
+        pca_rank=1, pca_rank_null=5, null_space_projection=True,
+        min_iter=9, max_iter=10, convergence_threshold=0.0, probe_chunk=2,
+        tilda_v_score_type="null+(for-null)+(edit-null)",
+        result_folder=td, save_images=False)
+    pipe = SDEditPipeline(unet_apply, decode,
+                          encode=lambda x, key: (_ for _ in ()).throw(
+                              RuntimeError("encode unused: zT given")),
+                          prompt_encoder=prompt_encoder, cfg=cfg,
+                          rng=seed_everything(305186554))
+
+    zT = np.asarray(jax.random.normal(jax.random.key(1), (1, 64, 64, 4)))
+    # pixel-space mask: the pullback target is the DECODED 512px image
+    mask = np.zeros((1, 512, 512, 3), bool)
+    mask[:, 160:352, 128:384] = True
+
+    def once(name):
+        t0 = time.perf_counter()
+        out = pipe.run_edit_null_space_projection_zt(
+            "a photo of a man", "a photo of a man wearing glasses", zT=zT,
+            mask=mask, sample_name=name, semantic=True)
+        # every strip is host-materialized by the pipeline; synthetic params
+        # may saturate numerically (timing is value-independent on TPU)
+        assert all(np.asarray(s).shape[1:] == (512, 512, 3)
+                   for s in out["strips"].values())
+        return time.perf_counter() - t0
+
+    t_cold = once("warm")
+    log(f"cold (incl. compile): {t_cold:.1f}s")
+    times = [once(f"r{i}") for i in range(3)]
+    log(f"steady runs: {[f'{t:.3f}' for t in times]}")
+    print(json.dumps({
+        "metric": "sd21_e2e_semantic_null5_0.7T_512px",
+        "value": round(min(times), 3), "unit": "s",
+        "runs": [round(t, 3) for t in times],
+        "cold_s": round(t_cold, 1), "unet_params_m": round(n_params / 1e6, 1),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
