@@ -8,10 +8,12 @@ behind a minimal HTTP API, so interactive editing front-ends get steady-state
 latency. Requests serialize through a lock (one chip, one compute stream);
 scale-out is one process per chip behind any HTTP balancer.
 
-  POST /edit    {"seed": int | "image": <b64 f32 NHWC bytes>,
+  POST /edit    {"seed": int | "image": <b64 f32 NHWC bytes>, "pixel": bool?,
                  "mask_bbox": [y0, y1, x0, x1] | null,
                  "pca_rank": int?, "sample_name": str?}
-             -> {"strips": {pc: <b64 f32 bytes>}, "shape": [...], "secs": float}
+             -> {"strips": {pc: <b64 bytes>}, "shape": [...], "dtype": "float32"
+                 | "uint8" (with "pixel": true — on-device PNG-payload
+                 conversion, 4x smaller pull+response), "secs": float}
   POST /invert  {"image": <b64>, "refine_steps": int?}   (exact-inversion
                 fixed-point depth; default = server --inv_refine_steps)
              -> {"xT": <b64>, "shape": [...]}
@@ -35,7 +37,10 @@ import numpy as np
 
 
 def _b64(a: np.ndarray) -> str:
-    return base64.b64encode(np.ascontiguousarray(a, np.float32).tobytes()).decode()
+    a = np.asarray(a)
+    if a.dtype != np.uint8:   # floats normalize to f32; uint8 pixels pass through
+        a = np.ascontiguousarray(a, np.float32)
+    return base64.b64encode(np.ascontiguousarray(a).tobytes()).decode()
 
 
 def _unb64(s: str, shape) -> np.ndarray:
@@ -116,6 +121,10 @@ class EditService:
             old_rank = self.pipe.cfg.pca_rank
             old_vis_pc = self.pipe.cfg.vis_num_pc
             old_nsp = self.pipe.cfg.null_space_projection
+            old_px = self.pipe.cfg.pixel_output
+            # "pixel": true -> strips return as uint8 pixels converted ON
+            # DEVICE (4x smaller device pull AND response payload)
+            self.pipe.cfg.pixel_output = bool(req.get("pixel", False))
             self.pipe.cfg.pca_rank = rank
             # API contract: one strip per requested principal component
             self.pipe.cfg.vis_num_pc = rank
@@ -130,11 +139,14 @@ class EditService:
                 self.pipe.cfg.pca_rank = old_rank
                 self.pipe.cfg.vis_num_pc = old_vis_pc
                 self.pipe.cfg.null_space_projection = old_nsp
+                self.pipe.cfg.pixel_output = old_px
             secs = time.perf_counter() - t0
             self.edits_served += 1
         strips = {str(pc): _b64(s) for pc, s in out["strips"].items()}
         shape = list(next(iter(out["strips"].values())).shape)
-        return {"strips": strips, "shape": shape, "secs": round(secs, 3)}
+        dtype = str(next(iter(out["strips"].values())).dtype)
+        return {"strips": strips, "shape": shape, "dtype": dtype,
+                "secs": round(secs, 3)}
 
     def invert(self, req: dict) -> dict:
         h, w, c = self.denoiser.sample_shape

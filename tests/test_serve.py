@@ -148,3 +148,28 @@ def test_segment_endpoint_all_tpu_sam(server, tmp_path):
     status2, out2 = _post(base + "/segment", {
         "image": payload, "filter_mask": 0, "points_per_side": 4})
     assert status2 == 200 and out2["shape"] == out["shape"]
+
+
+def test_edit_pixel_option_returns_uint8(server):
+    """"pixel": true returns the strips as on-device-converted uint8 pixels
+    (dtype advertised in the response, payload 4x smaller), equal to the
+    host to_uint8 of the float response for the same request."""
+    from loco_edit_tpu.utils.io import to_uint8
+
+    base, _service = server
+    req = {"seed": 41, "sample_name": "px", "mask_bbox": [8, 20, 8, 20]}
+    # identical boost-tail noise for both requests (the eta=1 tail draws a
+    # fresh stream per call; the basis itself is disk-cached by sample_name)
+    _service.pipe._boost_calls = 0
+    _, out_f = _post(base + "/edit", dict(req))
+    _service.pipe._boost_calls = 0
+    _, out_u = _post(base + "/edit", dict(req, pixel=True))
+    assert out_f["dtype"] == "float32" and out_u["dtype"] == "uint8"
+    shape = tuple(out_u["shape"])
+    for pc, b in out_u["strips"].items():
+        got = np.frombuffer(
+            __import__("base64").b64decode(b), np.uint8).reshape(shape)
+        ref = np.frombuffer(
+            __import__("base64").b64decode(out_f["strips"][pc]),
+            np.float32).reshape(shape)
+        np.testing.assert_array_equal(got, to_uint8(ref))
