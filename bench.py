@@ -162,6 +162,38 @@ def main():
             f"= {basis_flops / ours_sec / 1e12:.1f} TF/s "
             f"-> {100 * basis_mfu:.1f}% of peak")
 
+    # ---- fused modify+null pair (the shipped flagship path) ---------------
+    # Both flagship bases come from ONE dual program on the shared Jacobian
+    # (dual_subspace_iteration); timed HOST-MATERIALIZED (np.asarray) against
+    # the two-solo-program form, since block_until_ready through the tunnel
+    # can under-report multi-program sequences (BENCH.md round-3 entry).
+    from loco_edit_tpu.editing import dual_subspace_iteration
+
+    ka, kb = jax.random.fold_in(key, 3), jax.random.fold_in(key, 4)
+    dual_jit = jax.jit(lambda z: tuple(
+        b.vT for b in dual_subspace_iteration(
+            f, z, ka, kb, rank_a=RANK, rank_b=RANK, mask_a=mask,
+            mask_b=1.0 - mask, min_iter=ITERS - 1, max_iter=ITERS, tol=0.0)))
+    solo_jit = jax.jit(lambda z, m, k: subspace_iteration(
+        f, z, k, rank=RANK, mask=m, min_iter=ITERS - 1, max_iter=ITERS,
+        tol=0.0).vT)
+
+    def _mat(fn):
+        r = fn()
+        ts = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        del r
+        return min(ts)
+
+    dual_sec = _mat(lambda: [np.asarray(v) for v in dual_jit(xt)])
+    solo_sec = _mat(lambda: (np.asarray(solo_jit(xt, mask, ka)),
+                             np.asarray(solo_jit(xt, 1.0 - mask, kb))))
+    log(f"fused modify+null pair: {dual_sec:.3f}s vs two solo programs "
+        f"{solo_sec:.3f}s ({solo_sec / dual_sec:.2f}x, host-materialized)")
+
     # ---- reference-pattern emulation on the same chip ----------------------
     def fmask(z):
         y = f(z)

@@ -67,6 +67,32 @@ jax.tree_util.register_pytree_node(
 )
 
 
+def padded_probe_count(rank: int, d_in: int | None = None,
+                       mesh_size: int | None = None,
+                       pad_probes: bool | None = None) -> int:
+    """Probe-batch size an extraction executes for `rank`: padded up to the
+    8-sublane tile on TPU (lcm with the mesh size when probe-sharded),
+    capped at the space dimension. The ONE home of the padding rule — the
+    iteration internals and the pipeline's fused-path eligibility check
+    (pipelines/uncond.py) both call this."""
+    if pad_probes is None:
+        try:
+            pad_probes = jax.default_backend() == "tpu"
+        except RuntimeError:
+            pad_probes = False
+    r_eff = rank
+    if pad_probes:
+        mult = 8
+        if mesh_size is not None:
+            import numpy as _np
+
+            mult = int(_np.lcm(8, mesh_size))
+        r_eff = -(-rank // mult) * mult
+    if d_in is not None:
+        r_eff = min(r_eff, d_in)
+    return r_eff
+
+
 def init_probes(key: jax.Array, rank: int, d_in: int) -> jnp.ndarray:
     """Random orthonormal probe matrix (rank, d_in), f32 — the reference's
     randn + QR initialization (edit.py:2435-2438). Orthonormalized by
@@ -120,20 +146,10 @@ def subspace_iteration(
     d_in = x.size
     in_shape = x.shape
 
-    if pad_probes is None:
-        try:
-            pad_probes = jax.default_backend() == "tpu"
-        except RuntimeError:
-            pad_probes = False
-    r_eff = rank
-    if pad_probes:
-        mult = 8
-        if probe_sharding is not None:
-            import numpy as _np
-
-            mult = int(_np.lcm(8, probe_sharding.mesh.size))
-        r_eff = -(-rank // mult) * mult
-    r_eff = min(r_eff, d_in)  # cannot exceed the space dimension
+    r_eff = padded_probe_count(
+        rank, d_in,
+        mesh_size=None if probe_sharding is None else probe_sharding.mesh.size,
+        pad_probes=pad_probes)
 
     def fw(z):
         y = f(z)
@@ -265,17 +281,8 @@ def dual_subspace_iteration(
     d_in = x.size
     in_shape = x.shape
 
-    if pad_probes is None:
-        try:
-            pad_probes = jax.default_backend() == "tpu"
-        except RuntimeError:
-            pad_probes = False
-
-    def _reff(r):
-        r_eff = -(-r // 8) * 8 if pad_probes else r
-        return min(r_eff, d_in)
-
-    R = max(_reff(rank_a), _reff(rank_b))
+    R = max(padded_probe_count(rank_a, d_in, pad_probes=pad_probes),
+            padded_probe_count(rank_b, d_in, pad_probes=pad_probes))
 
     out_aval = jax.eval_shape(f, x)
     m = jnp.stack([

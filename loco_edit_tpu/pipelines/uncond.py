@@ -35,20 +35,11 @@ from loco_edit_tpu.editing import (
     subspace_iteration,
     x_space_guidance_strip,
 )
-from loco_edit_tpu.editing.pullback import eps_pullback_fn, pmp_pullback_fn
+from loco_edit_tpu.editing.pullback import (eps_pullback_fn,
+                                            padded_probe_count,
+                                            pmp_pullback_fn)
 from loco_edit_tpu.models.base import Denoiser
-from loco_edit_tpu.utils.io import save_image_grid
-
-
-def _padded_probe_count(rank: int) -> int:
-    """Probe count a solo extraction would execute for `rank` (the 8-sublane
-    tile padding of subspace_iteration on TPU, identity elsewhere) — the
-    fused dual extraction is only used when both groups agree."""
-    try:
-        on_tpu = jax.default_backend() == "tpu"
-    except RuntimeError:
-        on_tpu = False
-    return -(-rank // 8) * 8 if on_tpu else rank
+from loco_edit_tpu.utils.io import save_image_grid, to_uint8_pixels_device
 
 
 @dataclasses.dataclass
@@ -176,7 +167,7 @@ class UncondEditPipeline:
         return pmp_pullback_fn(self.denoiser.eps_fn, ab, t)
 
     def extract_basis(self, xt: jnp.ndarray, mask: np.ndarray | None,
-                      rank: int) -> EditBasis:
+                      rank: int, stream: str = "probes") -> EditBasis:
         cfg = self.cfg
         f = self.pullback_fn(None)
         m = None if mask is None else jnp.asarray(mask, jnp.float32)
@@ -204,7 +195,7 @@ class UncondEditPipeline:
         fn = self._jit(key, build)
         if m is None:
             m = jnp.ones_like(jnp.asarray(xt), jnp.float32)
-        return fn(jnp.asarray(xt), m, self.rng.fork(f"probes-r{rank}").key)
+        return fn(jnp.asarray(xt), m, self.rng.fork(f"{stream}-r{rank}").key)
 
     def extract_dual_basis(self, xt: jnp.ndarray, mask: np.ndarray,
                            rank: int, rank_null: int):
@@ -219,9 +210,13 @@ class UncondEditPipeline:
 
         def build():
             def run(x, mw, ka, kb):
+                # complement binarized exactly like the solo path's
+                # ~np.asarray(mask, bool): any nonzero weight counts as
+                # "inside", so soft masks cannot give cache-state-dependent
+                # null bases (modify keeps the soft weights, as solo does)
                 return dual_subspace_iteration(
                     f, x, ka, kb, rank_a=rank, rank_b=rank_null,
-                    mask_a=mw, mask_b=1.0 - mw,
+                    mask_a=mw, mask_b=(mw == 0).astype(jnp.float32),
                     min_iter=cfg.min_iter, max_iter=cfg.max_iter,
                     tol=cfg.convergence_threshold,
                     probe_chunk=cfg.probe_chunk)
@@ -231,7 +226,7 @@ class UncondEditPipeline:
         m = jnp.asarray(np.asarray(mask, np.float32))
         return fn(jnp.asarray(xt), m,
                   self.rng.fork(f"probes-r{rank}").key,
-                  self.rng.fork(f"probes-r{rank_null}").key)
+                  self.rng.fork(f"probes-null-r{rank_null}").key)
 
     # -- the flagship experiment ----------------------------------------------
 
@@ -276,8 +271,8 @@ class UncondEditPipeline:
                 and cfg.mesh_probe <= 1
                 and not os.path.exists(mod_path)
                 and not os.path.exists(null_path)
-                and _padded_probe_count(cfg.pca_rank)
-                == _padded_probe_count(cfg.pca_rank_null))
+                and padded_probe_count(cfg.pca_rank)
+                == padded_probe_count(cfg.pca_rank_null))
 
             if os.path.exists(mod_path):
                 vT_modify = jnp.asarray(load_directions(mod_path)[0])
@@ -316,7 +311,8 @@ class UncondEditPipeline:
                 else:
                     t0 = time.time()
                     nbasis = self.extract_basis(
-                        xt, ~np.asarray(mask, bool), cfg.pca_rank_null)
+                        xt, ~np.asarray(mask, bool), cfg.pca_rank_null,
+                        stream="probes-null")
                     vT_null = jax.block_until_ready(nbasis.vT)
                     print(f"null-space power method runtime == {time.time() - t0:.2f}s")
                     save_directions(null_path, np.asarray(vT_null),
@@ -352,7 +348,6 @@ class UncondEditPipeline:
                 jnp.concatenate(per_pc, axis=0), self.edit_t_idx, None,
                 boost=True)
             if cfg.pixel_output:
-                from loco_edit_tpu.utils.io import to_uint8_pixels_device
                 edited_dev = to_uint8_pixels_device(edited_dev)
             edited_all = np.asarray(edited_dev)
             offset = 0
@@ -384,7 +379,6 @@ class UncondEditPipeline:
         strip = jnp.concatenate(frames, axis=0)
         edited = self.generate_chunked(strip, self.edit_t_idx, None, boost=True)
         if cfg.pixel_output:
-            from loco_edit_tpu.utils.io import to_uint8_pixels_device
             edited = to_uint8_pixels_device(edited)
         if cfg.save_images:
             out_dir = os.path.join(cfg.result_folder, sample_name)

@@ -124,7 +124,10 @@ class EditService:
             old_px = self.pipe.cfg.pixel_output
             # "pixel": true -> strips return as uint8 pixels converted ON
             # DEVICE (4x smaller device pull AND response payload)
-            self.pipe.cfg.pixel_output = bool(req.get("pixel", False))
+            px = req.get("pixel", False)
+            if not isinstance(px, bool):   # reject "false"/1/...: a string
+                raise ValueError('"pixel" must be a JSON boolean')
+            self.pipe.cfg.pixel_output = px
             self.pipe.cfg.pca_rank = rank
             # API contract: one strip per requested principal component
             self.pipe.cfg.vis_num_pc = rank

@@ -79,7 +79,9 @@ def main():
 
     ctx = jax.random.normal(jax.random.key(3), (1, 77, 768), jnp.float32) * 0.2
     prompt_encoder = lambda prompt: jnp.asarray(  # noqa: E731
-        ctx + 0.01 * (hash(prompt) % 7), dtype)
+        ctx + 0.01 * (len(prompt) % 7), dtype)   # len, not salted hash:
+    # deterministic across interpreters, and never collides the two prompts
+    # here (a zero prompt-delta would make the direction 0/0)
 
     td = tempfile.mkdtemp(prefix="bench_lcm_")
     cfg = LCMEditConfig(
