@@ -248,6 +248,7 @@ def dual_subspace_iteration(
     max_iter: int = 50,
     tol: float = 1e-4,
     probe_chunk: int | None = None,
+    probe_sharding=None,
     pad_probes: bool | None = None,
 ) -> tuple[EditBasis, EditBasis]:
     """Two mask-weighted subspace iterations on the SAME Jacobian, fused.
@@ -274,6 +275,12 @@ def dual_subspace_iteration(
     iteration budget (min_iter = max_iter, the flagship protocol) the fused
     results equal the separate runs (pinned in tests/test_editing.py).
 
+    probe_sharding: optional NamedSharding over the probe axis (the same
+    P(probe) spec solo extraction takes): each group's padded probe batch
+    shards across the mesh (groups pad to lcm(8, mesh) so the flattened
+    2R-probe sweep divides evenly), and the per-group Gram reductions become
+    XLA collectives over ICI.
+
     Returns (basis_a, basis_b) with the same semantics as two
     `subspace_iteration` calls with (rank_a, mask_a, key_a) / (b).
     """
@@ -281,15 +288,30 @@ def dual_subspace_iteration(
     d_in = x.size
     in_shape = x.shape
 
-    R = max(padded_probe_count(rank_a, d_in, pad_probes=pad_probes),
-            padded_probe_count(rank_b, d_in, pad_probes=pad_probes))
+    mesh_size = None if probe_sharding is None else probe_sharding.mesh.size
+    R = max(padded_probe_count(rank_a, d_in, mesh_size=mesh_size,
+                               pad_probes=pad_probes),
+            padded_probe_count(rank_b, d_in, mesh_size=mesh_size,
+                               pad_probes=pad_probes))
+
+    if probe_sharding is None:
+        _pin_flat = _pin_grouped = lambda arr: arr
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        _mesh = probe_sharding.mesh
+        _axis = probe_sharding.spec[0]
+        _fs = NamedSharding(_mesh, PartitionSpec(_axis))        # (2R, ...)
+        _gs = NamedSharding(_mesh, PartitionSpec(None, _axis))  # (2, R, ...)
+        _pin_flat = lambda a: jax.lax.with_sharding_constraint(a, _fs)
+        _pin_grouped = lambda a: jax.lax.with_sharding_constraint(a, _gs)
 
     out_aval = jax.eval_shape(f, x)
     m = jnp.stack([
         jnp.broadcast_to(jnp.asarray(mask_a, jnp.float32), out_aval.shape),
         jnp.broadcast_to(jnp.asarray(mask_b, jnp.float32), out_aval.shape),
     ])                                            # (2, *out)
-    m_flat = jnp.repeat(m, R, axis=0)             # (2R, *out) probe-paired
+    m_flat = _pin_flat(jnp.repeat(m, R, axis=0))  # (2R, *out) probe-paired
 
     _, jvp_lin = jax.linearize(f, x)
     vjp_lin = jax.linear_transpose(jvp_lin, x)
@@ -315,9 +337,9 @@ def dual_subspace_iteration(
              bp.reshape(-1, probe_chunk, *b.shape[1:])))
         return out.reshape(-1, *out.shape[2:])[:n]
 
-    v0 = jnp.stack([init_probes(key_a, R, d_in),
-                    init_probes(key_b, R, d_in)])  # (2, R, d)
-    u0 = jnp.zeros((2, R) + out_aval.shape, out_aval.dtype)
+    v0 = _pin_grouped(jnp.stack([init_probes(key_a, R, d_in),
+                                 init_probes(key_b, R, d_in)]))  # (2, R, d)
+    u0 = _pin_grouped(jnp.zeros((2, R) + out_aval.shape, out_aval.dtype))
     s0 = jnp.zeros((2, R), jnp.float32)
     # convergence over the REQUESTED rows of each group only (padded tail
     # rows live in flatter parts of the spectrum and would stall tol exits)
@@ -327,8 +349,9 @@ def dual_subspace_iteration(
 
     def body(carry):
         i, v, _, _, _ = carry
-        u = _chunked(one_u, v.reshape(2 * R, d_in), m_flat)    # (2R, *out)
-        vp = _chunked(one_v, u, m_flat).reshape(2, R, d_in)
+        u = _pin_flat(_chunked(one_u, _pin_flat(v.reshape(2 * R, d_in)),
+                               m_flat))                        # (2R, *out)
+        vp = _pin_grouped(_chunked(one_v, u, m_flat).reshape(2, R, d_in))
         gram = jnp.einsum("grd,gsd->grs", vp, vp)              # (2, R, R) f32
         w, q = jax.vmap(jnp.linalg.eigh)(gram)                 # ascending
         w = w[:, ::-1]
@@ -337,9 +360,10 @@ def dual_subspace_iteration(
         v_new = (jnp.einsum("grs,grd->gsd", q, vp)
                  / jnp.maximum(s_vp, 1e-20)[..., None])
         dots = jnp.sum(v_new * v, axis=-1, keepdims=True)
-        v_new = v_new * jnp.where(dots < 0, -1.0, 1.0)
+        v_new = _pin_grouped(v_new * jnp.where(dots < 0, -1.0, 1.0))
         conv = jnp.max(jnp.abs(v_new - v) * row_w[..., None])
-        return i + 1, v_new, u.reshape(2, R, *out_aval.shape), s_vp, conv
+        return (i + 1, v_new,
+                _pin_grouped(u.reshape(2, R, *out_aval.shape)), s_vp, conv)
 
     def cond(carry):
         i, _, _, _, conv = carry

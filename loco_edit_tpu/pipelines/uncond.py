@@ -166,21 +166,25 @@ class UncondEditPipeline:
             return eps_pullback_fn(self.denoiser.eps_fn, t)
         return pmp_pullback_fn(self.denoiser.eps_fn, ab, t)
 
+    def _probe_sharding(self):
+        """NamedSharding over the probe axis when --mesh_probe > 1 (the
+        embarrassingly-parallel axis; solo AND fused extraction shard it)."""
+        if self.cfg.mesh_probe <= 1:
+            return None
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from loco_edit_tpu.core.mesh import PROBE_AXIS, make_mesh
+
+        mesh = make_mesh({PROBE_AXIS: self.cfg.mesh_probe},
+                         devices=jax.devices()[:self.cfg.mesh_probe])
+        return NamedSharding(mesh, P(PROBE_AXIS))
+
     def extract_basis(self, xt: jnp.ndarray, mask: np.ndarray | None,
                       rank: int, stream: str = "probes") -> EditBasis:
         cfg = self.cfg
         f = self.pullback_fn(None)
         m = None if mask is None else jnp.asarray(mask, jnp.float32)
-
-        probe_sharding = None
-        if cfg.mesh_probe > 1:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            from loco_edit_tpu.core.mesh import PROBE_AXIS, make_mesh
-
-            mesh = make_mesh({PROBE_AXIS: cfg.mesh_probe},
-                             devices=jax.devices()[:cfg.mesh_probe])
-            probe_sharding = NamedSharding(mesh, P(PROBE_AXIS))
+        probe_sharding = self._probe_sharding()
 
         def build():
             def run(x, mw, key):
@@ -207,6 +211,7 @@ class UncondEditPipeline:
         two extract_basis calls (same probe keys) at a fixed sweep budget."""
         cfg = self.cfg
         f = self.pullback_fn(None)
+        probe_sharding = self._probe_sharding()
 
         def build():
             def run(x, mw, ka, kb):
@@ -219,7 +224,8 @@ class UncondEditPipeline:
                     mask_a=mw, mask_b=(mw == 0).astype(jnp.float32),
                     min_iter=cfg.min_iter, max_iter=cfg.max_iter,
                     tol=cfg.convergence_threshold,
-                    probe_chunk=cfg.probe_chunk)
+                    probe_chunk=cfg.probe_chunk,
+                    probe_sharding=probe_sharding)
             return jax.jit(run)
 
         fn = self._jit(("dual-basis", xt.shape, rank, rank_null), build)
@@ -266,13 +272,13 @@ class UncondEditPipeline:
             # program on the shared Jacobian (see extract_dual_basis); the
             # cached / single-basis / probe-sharded cases keep separate runs.
             vT_null_pre = None
+            mesh_sz = cfg.mesh_probe if cfg.mesh_probe > 1 else None
             use_dual = (
                 cfg.null_space_projection and mask is not None
-                and cfg.mesh_probe <= 1
                 and not os.path.exists(mod_path)
                 and not os.path.exists(null_path)
-                and padded_probe_count(cfg.pca_rank)
-                == padded_probe_count(cfg.pca_rank_null))
+                and padded_probe_count(cfg.pca_rank, mesh_size=mesh_sz)
+                == padded_probe_count(cfg.pca_rank_null, mesh_size=mesh_sz))
 
             if os.path.exists(mod_path):
                 vT_modify = jnp.asarray(load_directions(mod_path)[0])

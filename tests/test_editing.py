@@ -235,3 +235,32 @@ def test_dual_iteration_probe_chunking_matches():
     for u1, u2 in zip(b1, b2):
         np.testing.assert_allclose(np.asarray(u1.vT), np.asarray(u2.vT),
                                    atol=1e-5)
+
+
+def test_dual_iteration_probe_sharded_matches_unsharded():
+    """The fused dual extraction under probe sharding (flattened 2R-probe
+    axis over the 8-device CPU mesh) agrees with the unsharded fused run
+    for both mask groups."""
+    from loco_edit_tpu.editing import dual_subspace_iteration
+
+    mesh = make_mesh({PROBE_AXIS: 8})
+    sharding = NamedSharding(mesh, P(PROBE_AXIS))
+    m, _, _ = _linear_map_with_gaps(jax.random.key(30))
+    f = lambda x: (m @ x.reshape(-1)).reshape(SHAPE)
+    x = jax.random.normal(jax.random.key(31), SHAPE) * 0.1
+    mask = (jax.random.uniform(jax.random.key(32), SHAPE) > 0.5).astype(jnp.float32)
+    ka, kb = jax.random.key(33), jax.random.key(34)
+
+    def run(z, ps):
+        return dual_subspace_iteration(
+            f, x, ka, kb, rank_a=4, rank_b=4, mask_a=mask, mask_b=1.0 - mask,
+            min_iter=5, max_iter=5, tol=0.0, pad_probes=True,
+            probe_sharding=ps)
+
+    d1 = jax.jit(lambda z: run(z, None))(x)
+    ds = jax.jit(lambda z: run(z, sharding))(x)
+    for solo, shd in zip(d1, ds):
+        np.testing.assert_allclose(np.asarray(shd.vT), np.asarray(solo.vT),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(shd.s), np.asarray(solo.s),
+                                   rtol=1e-5)
