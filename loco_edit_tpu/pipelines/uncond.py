@@ -368,6 +368,112 @@ class UncondEditPipeline:
         return {"xt": np.asarray(xt), "vT": np.asarray(vT), "strips": strips,
                 "edit_t_idx": t_idx, "out_dir": out_dir}
 
+    def run_edit_batch(
+        self, x0s: np.ndarray | None = None, xTs: np.ndarray | None = None,
+        masks: np.ndarray | None = None,
+        sample_names: list[str] | None = None,
+    ) -> list[dict]:
+        """Throughput form of run_edit_null_space_projection over N samples —
+        a capability the reference does not have (its engine edits one
+        sample_idx per process, edit.py:2215).
+
+        The batch axis amortizes the MFU-starved batch-1 legs: ONE
+        inversion and ONE forward program run the whole (N, H, W, C) batch
+        (batch-1 denoise steps are the most starved shape on TPU — BENCH.md
+        batch sweep), and every compiled program (fused dual basis, 16-frame
+        denoise chunks) is reused across samples. The strip denoise stays
+        per-sample: it is already tile-saturated at the 16-frame chunk, and
+        a measured cross-sample concatenation variant was SLOWER (the big
+        device concat + reslice cost more than the zero chunk-count change
+        — 11.9 s/image vs 10.85 single at N=4, BENCH.md). Per-sample disk
+        artifacts (basis caches, direction files, PNGs) are written exactly
+        as N single runs would.
+
+        masks: (N, H, W, C) boolean. Returns one result dict per sample.
+        """
+        cfg = self.cfg
+        assert (x0s is None) != (xTs is None), "exactly one of x0s / xTs"
+        if xTs is None:
+            xTs = self.invert(jnp.asarray(x0s))          # ONE batched program
+        xTs = jnp.asarray(xTs)
+        n = xTs.shape[0]
+        assert masks is not None and masks.shape[0] == n
+        names = sample_names or [f"batch{i:03d}" for i in range(n)]
+
+        xts = jnp.asarray(self.generate(xTs, 0, self.edit_t_idx))  # ONE program
+
+        vTs = []
+        for i in range(n):
+            out_dir = os.path.join(cfg.result_folder, names[i])
+            basis_dir = os.path.join(out_dir, "basis",
+                                     f"local_basis-{cfg.edit_t}T")
+            mod_path = os.path.join(basis_dir,
+                                    f"vT-modify-rank-{cfg.pca_rank}.npz")
+            null_path = os.path.join(basis_dir,
+                                     f"vT-null-{cfg.pca_rank_null}.npz")
+            vT_null = None
+            if not cfg.null_space_projection:
+                if os.path.exists(mod_path):
+                    vT_modify = jnp.asarray(load_directions(mod_path)[0])
+                else:
+                    vT_modify = self.extract_basis(
+                        xts[i:i + 1], masks[i:i + 1], cfg.pca_rank).vT
+                    save_directions(mod_path, np.asarray(vT_modify),
+                                    edit_t=cfg.edit_t, rank=cfg.pca_rank)
+            elif os.path.exists(mod_path) and os.path.exists(null_path):
+                vT_modify = jnp.asarray(load_directions(mod_path)[0])
+                vT_null = jnp.asarray(load_directions(null_path)[0])
+            else:
+                basis, nbasis = self.extract_dual_basis(
+                    xts[i:i + 1], masks[i:i + 1], cfg.pca_rank,
+                    cfg.pca_rank_null)
+                vT_modify = jax.block_until_ready(basis.vT)
+                vT_null = nbasis.vT
+                save_directions(mod_path, np.asarray(vT_modify),
+                                edit_t=cfg.edit_t, rank=cfg.pca_rank)
+                save_directions(null_path, np.asarray(vT_null),
+                                edit_t=cfg.edit_t, rank=cfg.pca_rank_null)
+            vT = (null_space_project(vT_modify, vT_null, cfg.pca_rank_null)
+                  if cfg.null_space_projection else normalize_rows(vT_modify))
+            for pc in range(vT.shape[0]):
+                save_directions(
+                    os.path.join(basis_dir, f"pc_{pc:03d}-vT.npz"),
+                    np.asarray(vT[pc:pc + 1]), edit_t=cfg.edit_t, pc=pc)
+            vTs.append(vT)
+
+        n_pc = min(cfg.vis_num_pc, vTs[0].shape[0])
+        basis_name = (f"edit_{cfg.edit_t}T_null_proj_{cfg.null_space_projection}"
+                      f"_rank{cfg.pca_rank_null}_scale_{cfg.x_space_guidance_scale}")
+        results = []
+        for i in range(n):
+            per_pc = [x_space_guidance_strip(
+                xts[i:i + 1], vTs[i][pc], scale=cfg.x_space_guidance_scale,
+                edit_step=cfg.x_space_guidance_edit_step,
+                num_steps=cfg.x_space_guidance_num_step, vis_num=cfg.vis_num)
+                for pc in range(n_pc)]
+            edited_dev = self.generate_chunked(
+                jnp.concatenate(per_pc, axis=0), self.edit_t_idx, None,
+                boost=True)
+            if cfg.pixel_output:
+                edited_dev = to_uint8_pixels_device(edited_dev)
+            edited = np.asarray(edited_dev)
+            out_dir = os.path.join(cfg.result_folder, names[i])
+            strips = {}
+            offset = 0
+            for pc, sp in enumerate(per_pc):
+                strips[pc] = edited[offset:offset + sp.shape[0]]
+                offset += sp.shape[0]
+                if cfg.save_images:
+                    save_image_grid(
+                        strips[pc],
+                        os.path.join(out_dir,
+                                     f"edit-{basis_name}-pc{pc:03d}.png"))
+            results.append({"xt": np.asarray(xts[i:i + 1]),
+                            "vT": np.asarray(vTs[i]), "strips": strips,
+                            "edit_t_idx": self.edit_t_idx,
+                            "out_dir": out_dir})
+        return results
+
     def group_edit(self, xT: np.ndarray, vT_paths: list[str],
                    sample_name: str = "group") -> np.ndarray:
         """Sequential composition of saved directions (reference

@@ -184,3 +184,35 @@ def test_pixel_output_matches_float_strips(pipeline_factory):
         got = out_u["strips"][pc]
         assert got.dtype == np.uint8
         np.testing.assert_array_equal(got, to_uint8(out_f["strips"][pc]))
+
+
+def test_run_edit_batch_matches_sequential_singles(pipeline_factory):
+    """The throughput batch API (ONE inversion/forward program, per-sample
+    fused bases, one concatenated strip denoise) equals N sequential
+    single-sample runs with the deterministic (boost-free) tail."""
+    rng = np.random.default_rng(9)
+    n = 3
+    x0s = (rng.normal(size=(n, 32, 32, 3)) * 0.3).astype(np.float32)
+    masks = np.zeros((n, 32, 32, 3), bool)
+    for i in range(n):
+        masks[i, 4 + 4 * i:16 + 4 * i, 8:24] = True
+
+    pipe_b, _ = pipeline_factory(save_images=False, performance_boosting_t=0.0)
+    outs_b = pipe_b.run_edit_batch(
+        x0s=x0s, masks=masks, sample_names=[f"b{i}" for i in range(n)])
+
+    pipe_s, _ = pipeline_factory(save_images=False, performance_boosting_t=0.0)
+    for i in range(n):
+        out_s = pipe_s.run_edit_null_space_projection(
+            x0=x0s[i:i + 1], mask=masks[i:i + 1], sample_name=f"s{i}")
+        np.testing.assert_allclose(outs_b[i]["vT"], out_s["vT"], atol=1e-5)
+        for pc in out_s["strips"]:
+            np.testing.assert_allclose(outs_b[i]["strips"][pc],
+                                       out_s["strips"][pc], atol=1e-4)
+    # per-sample artifacts exist exactly as single runs write them
+    for i in range(n):
+        d = os.path.join(outs_b[i]["out_dir"], "basis", "local_basis-0.6T")
+        files = os.listdir(d)
+        assert any(f.startswith("vT-modify") for f in files)
+        assert any(f.startswith("vT-null") for f in files)
+        assert any(f.startswith("pc_000") for f in files)
