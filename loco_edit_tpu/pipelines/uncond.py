@@ -236,6 +236,121 @@ class UncondEditPipeline:
 
     # -- the flagship experiment ----------------------------------------------
 
+    def _resolve_basis(self, xt, mask, out_dir, random_edit: bool = False):
+        """Disk-cached basis resolution for ONE sample — the exact flagship
+        semantics (modify cache -> fused dual when both bases are fresh and
+        their padded probe batches agree -> solo runs otherwise; null-space
+        projection or row normalization; per-pc direction files). Shared by
+        run_edit_null_space_projection and run_edit_batch so the batch API
+        cannot drift from what N single runs write."""
+        cfg = self.cfg
+        basis_dir = os.path.join(out_dir, "basis",
+                                 f"local_basis-{cfg.edit_t}T")
+        mod_path = os.path.join(basis_dir, f"vT-modify-rank-{cfg.pca_rank}.npz")
+        null_path = os.path.join(basis_dir, f"vT-null-{cfg.pca_rank_null}.npz")
+
+        # When BOTH bases must be computed fresh (and their padded probe
+        # batches agree), fuse them into one program on the shared Jacobian
+        # (see extract_dual_basis) — including probe-sharded --mesh_probe
+        # runs, whose flattened 2R-probe axis shards the mesh; the cached /
+        # single-basis / mismatched-padding cases keep separate solo runs.
+        vT_null_pre = None
+        mesh_sz = cfg.mesh_probe if cfg.mesh_probe > 1 else None
+        use_dual = (
+            cfg.null_space_projection and mask is not None
+            and not os.path.exists(mod_path)
+            and not os.path.exists(null_path)
+            and padded_probe_count(cfg.pca_rank, mesh_size=mesh_sz)
+            == padded_probe_count(cfg.pca_rank_null, mesh_size=mesh_sz))
+
+        if os.path.exists(mod_path):
+            vT_modify = jnp.asarray(load_directions(mod_path)[0])
+        elif use_dual:
+            t0 = time.time()
+            basis, nbasis = self.extract_dual_basis(
+                xt, mask, cfg.pca_rank, cfg.pca_rank_null)
+            vT_modify = jax.block_until_ready(basis.vT)
+            vT_null_pre = nbasis.vT
+            print(f"power method runtime == {time.time() - t0:.2f}s "
+                  f"({int(basis.iters)} iters, fused modify+null)")
+            save_directions(mod_path, np.asarray(vT_modify),
+                            edit_t=cfg.edit_t, rank=cfg.pca_rank)
+            save_directions(null_path, np.asarray(vT_null_pre),
+                            edit_t=cfg.edit_t, rank=cfg.pca_rank_null)
+        else:
+            t0 = time.time()
+            basis = self.extract_basis(xt, mask, cfg.pca_rank)
+            vT_modify = jax.block_until_ready(basis.vT)
+            print(f"power method runtime == {time.time() - t0:.2f}s "
+                  f"({int(basis.iters)} iters)")
+            save_directions(mod_path, np.asarray(vT_modify),
+                            edit_t=cfg.edit_t, rank=cfg.pca_rank)
+
+        if random_edit:
+            vT_modify = jax.random.normal(
+                self.rng.fork("random-edit").key, vT_modify.shape)
+
+        if cfg.null_space_projection:
+            if mask is None:
+                raise ValueError("null-space projection requires a mask")
+            if vT_null_pre is not None:
+                vT_null = vT_null_pre
+            elif os.path.exists(null_path):
+                vT_null = jnp.asarray(load_directions(null_path)[0])
+            else:
+                t0 = time.time()
+                nbasis = self.extract_basis(
+                    xt, ~np.asarray(mask, bool), cfg.pca_rank_null,
+                    stream="probes-null")
+                vT_null = jax.block_until_ready(nbasis.vT)
+                print(f"null-space power method runtime == {time.time() - t0:.2f}s")
+                save_directions(null_path, np.asarray(vT_null),
+                                edit_t=cfg.edit_t, rank=cfg.pca_rank_null)
+            vT = null_space_project(vT_modify, vT_null, cfg.pca_rank_null)
+        else:
+            vT = normalize_rows(vT_modify)
+
+        basis_name = (f"edit_{cfg.edit_t}T_null_proj_{cfg.null_space_projection}"
+                      f"_rank{cfg.pca_rank_null}_scale_{cfg.x_space_guidance_scale}")
+        for pc in range(vT.shape[0]):
+            save_directions(
+                os.path.join(basis_dir, f"pc_{pc:03d}-vT.npz"),
+                np.asarray(vT[pc:pc + 1]), edit_t=cfg.edit_t, pc=pc)
+        return vT, basis_name
+
+    def _render_strips(self, xt, vT, out_dir, basis_name):
+        """Walks + completion denoise for ONE sample. All principal
+        components' strips concatenate into one batch so a single compiled
+        program amortizes the scan across every PC (the reference denoises
+        each PC's strip as its own sequential batch, edit.py:2340-2364;
+        batch-9 denoise is MFU-starved — BENCH.md sweep); memory_bound /
+        the TPU tile-aligned 16 still chunk the big batch, mirroring the
+        reference's own single-strip chunking (edit.py:2561)."""
+        cfg = self.cfg
+        n_pc = min(cfg.vis_num_pc, vT.shape[0])
+        per_pc = [x_space_guidance_strip(
+            xt, vT[pc], scale=cfg.x_space_guidance_scale,
+            edit_step=cfg.x_space_guidance_edit_step,
+            num_steps=cfg.x_space_guidance_num_step, vis_num=cfg.vis_num)
+            for pc in range(n_pc)]
+        strips = {}
+        if n_pc:
+            edited_dev = self.generate_chunked(
+                jnp.concatenate(per_pc, axis=0), self.edit_t_idx, None,
+                boost=True)
+            if cfg.pixel_output:
+                edited_dev = to_uint8_pixels_device(edited_dev)
+            edited_all = np.asarray(edited_dev)
+            offset = 0
+            for pc, sp in enumerate(per_pc):
+                strips[pc] = edited_all[offset:offset + sp.shape[0]]
+                offset += sp.shape[0]
+                if cfg.save_images:
+                    save_image_grid(
+                        strips[pc],
+                        os.path.join(out_dir, f"edit-{basis_name}-pc{pc:03d}.png"))
+        return strips
+
     def run_edit_null_space_projection(
         self, x0: np.ndarray | None = None, xT: np.ndarray | None = None,
         mask: np.ndarray | None = None, sample_name: str = "sample",
@@ -263,108 +378,10 @@ class UncondEditPipeline:
             vT = jnp.asarray(vT)
             basis_name = f"edit_{cfg.edit_t}T-load-basis-{os.path.basename(vT_path)}"
         else:
-            basis_dir = os.path.join(out_dir, "basis",
-                                     f"local_basis-{cfg.edit_t}T")
-            mod_path = os.path.join(basis_dir, f"vT-modify-rank-{cfg.pca_rank}.npz")
-            null_path = os.path.join(basis_dir, f"vT-null-{cfg.pca_rank_null}.npz")
+            vT, basis_name = self._resolve_basis(xt, mask, out_dir,
+                                                 random_edit=random_edit)
 
-            # When BOTH bases must be computed fresh, fuse them into one
-            # program on the shared Jacobian (see extract_dual_basis); the
-            # cached / single-basis / probe-sharded cases keep separate runs.
-            vT_null_pre = None
-            mesh_sz = cfg.mesh_probe if cfg.mesh_probe > 1 else None
-            use_dual = (
-                cfg.null_space_projection and mask is not None
-                and not os.path.exists(mod_path)
-                and not os.path.exists(null_path)
-                and padded_probe_count(cfg.pca_rank, mesh_size=mesh_sz)
-                == padded_probe_count(cfg.pca_rank_null, mesh_size=mesh_sz))
-
-            if os.path.exists(mod_path):
-                vT_modify = jnp.asarray(load_directions(mod_path)[0])
-            elif use_dual:
-                t0 = time.time()
-                basis, nbasis = self.extract_dual_basis(
-                    xt, mask, cfg.pca_rank, cfg.pca_rank_null)
-                vT_modify = jax.block_until_ready(basis.vT)
-                vT_null_pre = nbasis.vT
-                print(f"power method runtime == {time.time() - t0:.2f}s "
-                      f"({int(basis.iters)} iters, fused modify+null)")
-                save_directions(mod_path, np.asarray(vT_modify),
-                                edit_t=cfg.edit_t, rank=cfg.pca_rank)
-                save_directions(null_path, np.asarray(vT_null_pre),
-                                edit_t=cfg.edit_t, rank=cfg.pca_rank_null)
-            else:
-                t0 = time.time()
-                basis = self.extract_basis(xt, mask, cfg.pca_rank)
-                vT_modify = jax.block_until_ready(basis.vT)
-                print(f"power method runtime == {time.time() - t0:.2f}s "
-                      f"({int(basis.iters)} iters)")
-                save_directions(mod_path, np.asarray(vT_modify),
-                                edit_t=cfg.edit_t, rank=cfg.pca_rank)
-
-            if random_edit:
-                vT_modify = jax.random.normal(
-                    self.rng.fork("random-edit").key, vT_modify.shape)
-
-            if cfg.null_space_projection:
-                if mask is None:
-                    raise ValueError("null-space projection requires a mask")
-                if vT_null_pre is not None:
-                    vT_null = vT_null_pre
-                elif os.path.exists(null_path):
-                    vT_null = jnp.asarray(load_directions(null_path)[0])
-                else:
-                    t0 = time.time()
-                    nbasis = self.extract_basis(
-                        xt, ~np.asarray(mask, bool), cfg.pca_rank_null,
-                        stream="probes-null")
-                    vT_null = jax.block_until_ready(nbasis.vT)
-                    print(f"null-space power method runtime == {time.time() - t0:.2f}s")
-                    save_directions(null_path, np.asarray(vT_null),
-                                    edit_t=cfg.edit_t, rank=cfg.pca_rank_null)
-                vT = null_space_project(vT_modify, vT_null, cfg.pca_rank_null)
-            else:
-                vT = normalize_rows(vT_modify)
-
-            basis_name = (f"edit_{cfg.edit_t}T_null_proj_{cfg.null_space_projection}"
-                          f"_rank{cfg.pca_rank_null}_scale_{cfg.x_space_guidance_scale}")
-            for pc in range(vT.shape[0]):
-                save_directions(
-                    os.path.join(basis_dir, f"pc_{pc:03d}-vT.npz"),
-                    np.asarray(vT[pc:pc + 1]), edit_t=cfg.edit_t, pc=pc)
-
-        # walks + final denoise. The reference denoises each principal
-        # component's strip as its own sequential batch (edit.py:2340-2364);
-        # nothing in the algorithm requires that — here ALL strips concatenate
-        # into ONE batch so a single compiled program amortizes the scan
-        # across every PC (flagship: one batch-45 program instead of five
-        # sequential batch-9 programs; the batch-9 denoise is MFU-starved).
-        # memory_bound still bounds peak memory by chunking the big batch,
-        # mirroring the reference's own single-strip chunking (edit.py:2561).
-        n_pc = min(cfg.vis_num_pc, vT.shape[0])
-        per_pc = [x_space_guidance_strip(
-            xt, vT[pc], scale=cfg.x_space_guidance_scale,
-            edit_step=cfg.x_space_guidance_edit_step,
-            num_steps=cfg.x_space_guidance_num_step, vis_num=cfg.vis_num)
-            for pc in range(n_pc)]
-        strips = {}
-        if n_pc:
-            edited_dev = self.generate_chunked(
-                jnp.concatenate(per_pc, axis=0), self.edit_t_idx, None,
-                boost=True)
-            if cfg.pixel_output:
-                edited_dev = to_uint8_pixels_device(edited_dev)
-            edited_all = np.asarray(edited_dev)
-            offset = 0
-            for pc, s in enumerate(per_pc):
-                strips[pc] = edited_all[offset:offset + s.shape[0]]
-                offset += s.shape[0]
-                if cfg.save_images:
-                    save_image_grid(
-                        strips[pc],
-                        os.path.join(out_dir, f"edit-{basis_name}-pc{pc:03d}.png"))
-
+        strips = self._render_strips(xt, vT, out_dir, basis_name)
         return {"xt": np.asarray(xt), "vT": np.asarray(vT), "strips": strips,
                 "edit_t_idx": t_idx, "out_dir": out_dir}
 
@@ -402,74 +419,16 @@ class UncondEditPipeline:
 
         xts = jnp.asarray(self.generate(xTs, 0, self.edit_t_idx))  # ONE program
 
-        vTs = []
-        for i in range(n):
-            out_dir = os.path.join(cfg.result_folder, names[i])
-            basis_dir = os.path.join(out_dir, "basis",
-                                     f"local_basis-{cfg.edit_t}T")
-            mod_path = os.path.join(basis_dir,
-                                    f"vT-modify-rank-{cfg.pca_rank}.npz")
-            null_path = os.path.join(basis_dir,
-                                     f"vT-null-{cfg.pca_rank_null}.npz")
-            vT_null = None
-            if not cfg.null_space_projection:
-                if os.path.exists(mod_path):
-                    vT_modify = jnp.asarray(load_directions(mod_path)[0])
-                else:
-                    vT_modify = self.extract_basis(
-                        xts[i:i + 1], masks[i:i + 1], cfg.pca_rank).vT
-                    save_directions(mod_path, np.asarray(vT_modify),
-                                    edit_t=cfg.edit_t, rank=cfg.pca_rank)
-            elif os.path.exists(mod_path) and os.path.exists(null_path):
-                vT_modify = jnp.asarray(load_directions(mod_path)[0])
-                vT_null = jnp.asarray(load_directions(null_path)[0])
-            else:
-                basis, nbasis = self.extract_dual_basis(
-                    xts[i:i + 1], masks[i:i + 1], cfg.pca_rank,
-                    cfg.pca_rank_null)
-                vT_modify = jax.block_until_ready(basis.vT)
-                vT_null = nbasis.vT
-                save_directions(mod_path, np.asarray(vT_modify),
-                                edit_t=cfg.edit_t, rank=cfg.pca_rank)
-                save_directions(null_path, np.asarray(vT_null),
-                                edit_t=cfg.edit_t, rank=cfg.pca_rank_null)
-            vT = (null_space_project(vT_modify, vT_null, cfg.pca_rank_null)
-                  if cfg.null_space_projection else normalize_rows(vT_modify))
-            for pc in range(vT.shape[0]):
-                save_directions(
-                    os.path.join(basis_dir, f"pc_{pc:03d}-vT.npz"),
-                    np.asarray(vT[pc:pc + 1]), edit_t=cfg.edit_t, pc=pc)
-            vTs.append(vT)
-
-        n_pc = min(cfg.vis_num_pc, vTs[0].shape[0])
-        basis_name = (f"edit_{cfg.edit_t}T_null_proj_{cfg.null_space_projection}"
-                      f"_rank{cfg.pca_rank_null}_scale_{cfg.x_space_guidance_scale}")
         results = []
         for i in range(n):
-            per_pc = [x_space_guidance_strip(
-                xts[i:i + 1], vTs[i][pc], scale=cfg.x_space_guidance_scale,
-                edit_step=cfg.x_space_guidance_edit_step,
-                num_steps=cfg.x_space_guidance_num_step, vis_num=cfg.vis_num)
-                for pc in range(n_pc)]
-            edited_dev = self.generate_chunked(
-                jnp.concatenate(per_pc, axis=0), self.edit_t_idx, None,
-                boost=True)
-            if cfg.pixel_output:
-                edited_dev = to_uint8_pixels_device(edited_dev)
-            edited = np.asarray(edited_dev)
             out_dir = os.path.join(cfg.result_folder, names[i])
-            strips = {}
-            offset = 0
-            for pc, sp in enumerate(per_pc):
-                strips[pc] = edited[offset:offset + sp.shape[0]]
-                offset += sp.shape[0]
-                if cfg.save_images:
-                    save_image_grid(
-                        strips[pc],
-                        os.path.join(out_dir,
-                                     f"edit-{basis_name}-pc{pc:03d}.png"))
+            os.makedirs(out_dir, exist_ok=True)
+            vT, basis_name = self._resolve_basis(
+                xts[i:i + 1], masks[i:i + 1], out_dir)
+            strips = self._render_strips(xts[i:i + 1], vT, out_dir,
+                                         basis_name)
             results.append({"xt": np.asarray(xts[i:i + 1]),
-                            "vT": np.asarray(vTs[i]), "strips": strips,
+                            "vT": np.asarray(vT), "strips": strips,
                             "edit_t_idx": self.edit_t_idx,
                             "out_dir": out_dir})
         return results

@@ -1,13 +1,12 @@
 """Amortized per-image cost of the batch-edit API on the real TPU.
 
 run_edit_batch (pipelines/uncond.py) runs N flagship edits as: ONE batched
-inversion-free forward program, the fused dual-basis program reused per
-sample, and ONE chunked boost-tail denoise over all N x 45 strip frames (so
-the tile-aligned 16-frame chunks stay full across sample boundaries:
-4 x 45 = 180 frames -> 12 programs executing 192 frames, vs 4 x (3 chunks,
-48 executed) = 192 for sequential singles — the win is the batched forward
-+ shared dispatch/host overheads, not the chunk count). Strips materialize
-to host as uint8 pixels.
+forward program (the MFU-starved batch-1 leg), the fused dual-basis and
+16-frame denoise-chunk programs reused across samples, and a PER-SAMPLE
+chunked boost-tail strip denoise — a cross-sample concatenated variant was
+measured SLOWER (11.9 s/image at N=4: the 141 MB device concat + reslice
+outweigh the zero change in executed chunk count; BENCH.md). Strips
+materialize to host as uint8 pixels.
 
 stderr: details; stdout: one JSON line with per-image amortized seconds.
 """

@@ -188,7 +188,7 @@ def test_pixel_output_matches_float_strips(pipeline_factory):
 
 def test_run_edit_batch_matches_sequential_singles(pipeline_factory):
     """The throughput batch API (ONE inversion/forward program, per-sample
-    fused bases, one concatenated strip denoise) equals N sequential
+    fused bases and per-sample chunked strip denoise) equals N sequential
     single-sample runs with the deterministic (boost-free) tail."""
     rng = np.random.default_rng(9)
     n = 3
