@@ -224,6 +224,7 @@ def _main_t2i(args):
             non_semantic=args.non_semantic, use_sega=args.use_sega,
             memory_bound=args.memory_bound,
             probe_chunk=args.probe_chunk or None,
+            compute_dtype=args.dtype,
             result_folder=args.result_folder)
         pipe = LCMEditPipeline(b["unet_apply"], b["decode"],
                                b["prompt_encoder"], cfg, rng,
@@ -272,6 +273,7 @@ def _main_t2i(args):
             or "null+(for-null)+(edit-null)",
             memory_bound=args.memory_bound,
             probe_chunk=args.probe_chunk or None,
+            compute_dtype=args.dtype,
             result_folder=args.result_folder)
         pipe = SDEditPipeline(b["unet_apply"], b["decode"], b["encode"],
                               b["prompt_encoder"], cfg, rng,

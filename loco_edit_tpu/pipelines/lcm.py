@@ -48,6 +48,7 @@ class LCMEditConfig:
     max_iter: int = 50
     convergence_threshold: float = 1e-3
     probe_chunk: int | None = None
+    compute_dtype: str = "fp32"  # informs _auto_probe_chunk's HBM default
     scaling_factor: float = 0.18215
     memory_bound: int = 0        # chunk strip denoise batches (0 = off)
     result_folder: str = "./runs"
@@ -136,10 +137,10 @@ class LCMEditPipeline:
              else jnp.asarray(mask, jnp.float32))
 
         # same through-the-decoder pullback as the SD engine -> same 16G HBM
-        # ceiling; TPU default probe_chunk=2 (see pipelines/sd.py)
+        # ceiling and dtype-dependent default chunk (see pipelines/sd.py)
         from loco_edit_tpu.pipelines.sd import _auto_probe_chunk
 
-        chunk = _auto_probe_chunk(cfg.probe_chunk)
+        chunk = _auto_probe_chunk(cfg.probe_chunk, cfg.compute_dtype)
 
         def run(z, mw, key):
             return subspace_iteration(

@@ -35,20 +35,27 @@ from loco_edit_tpu.editing.cfg import cfg_eps
 from loco_edit_tpu.utils.io import save_image_grid
 
 
-def _auto_probe_chunk(configured: int | None) -> int | None:
+def _auto_probe_chunk(configured: int | None,
+                      compute_dtype: str = "fp32") -> int | None:
     """Default probe chunk for z-space pullbacks THROUGH the VAE decoder.
 
-    On TPU an unset probe_chunk defaults to 2: the production-width basis
-    (SD 2.1 UNet + 512px decode, probes padded to the 8-sublane tile) needs
-    >21G of HLO temps unchunked and OOMs a 16G v5e even with per-block remat;
-    2-probe lax.map chunks + remat fit and measure 14.5 s / rank-5 / 10
-    sweeps (scripts/bench_t2i_basis.py). Pass --probe_chunk 8 on parts with
-    more HBM to re-batch the sweep."""
+    Measured on one 16G v5e (SD 2.1 UNet + 512px decode, rank-5, 10 sweeps,
+    per-block remat — scripts/bench_t2i_basis.py):
+
+      bf16: the full 8-probe tile FITS and the chunked lax.map forms only
+        serialize the cross-probe overlap — 8.94 s unchunked (42.7% MFU)
+        vs 13.19 s chunk=4 vs 14.52 s chunk=2. Default 8: identical to
+        unchunked at rank<=8 (one tile) while still bounding memory to
+        8-probe chunks at higher ranks.
+      fp32: the unchunked sweep needs >21G of HLO temps (measured OOM,
+        dominated by the f32 VJP buffers through the decoder) -> default 2.
+
+    --probe_chunk overrides either way."""
     if configured is not None:
         return configured
     try:
         if jax.default_backend() == "tpu":
-            return 2
+            return 8 if compute_dtype in ("bf16", "bfloat16") else 2
     except RuntimeError:
         pass
     return None
@@ -75,6 +82,7 @@ class SDEditConfig:
     max_iter: int = 50
     convergence_threshold: float = 1e-3
     probe_chunk: int | None = None
+    compute_dtype: str = "fp32"  # informs _auto_probe_chunk's HBM default
     scaling_factor: float = 0.18215
     t_max: int = 999
     memory_bound: int = 0        # chunk strip denoise batches (0 = off)
@@ -196,7 +204,7 @@ class SDEditPipeline:
         f = self.pmp_through_decoder(prompts, mode)
         m = (jnp.ones((1, 1, 1, 1), jnp.float32) if mask is None
              else jnp.asarray(mask, jnp.float32))
-        chunk = _auto_probe_chunk(cfg.probe_chunk)
+        chunk = _auto_probe_chunk(cfg.probe_chunk, cfg.compute_dtype)
 
         def run(z, mw, key):
             return subspace_iteration(

@@ -14,6 +14,14 @@ scale-out is one process per chip behind any HTTP balancer.
              -> {"strips": {pc: <b64 bytes>}, "shape": [...], "dtype": "float32"
                  | "uint8" (with "pixel": true — on-device PNG-payload
                  conversion, 4x smaller pull+response), "secs": float}
+  POST /edit_batch {"items": [{"seed" | "image", "mask_bbox"?, "sample_name"?},
+                 ...], "pixel": bool?, "pca_rank": int?}
+             -> {"results": [<per-item /edit payload>], "secs": float}
+                (throughput form: ONE batched inversion program for all image
+                items and one batched forward for the whole set — see
+                pipelines/uncond.py run_edit_batch; items without "mask_bbox"
+                fall back to the unprojected basis for the WHOLE batch, like
+                the maskless /edit fallback)
   POST /invert  {"image": <b64>, "refine_steps": int?}   (exact-inversion
                 fixed-point depth; default = server --inv_refine_steps)
              -> {"xT": <b64>, "shape": [...]}
@@ -28,6 +36,7 @@ Run: python -m loco_edit_tpu.serve --model_name FFHQ_P2 \
 from __future__ import annotations
 
 import base64
+import contextlib
 import json
 import threading
 import time
@@ -106,6 +115,35 @@ class EditService:
             json.dumps(ident, sort_keys=True).encode()).hexdigest()[:16]
         return f"serve-{digest}-r{rank}"
 
+    @contextlib.contextmanager
+    def _cfg_overrides(self, **kv):
+        """Per-request pipeline-config overrides, restored on exit (the warm
+        pipeline is shared state; requests serialize through self.lock)."""
+        cfg = self.pipe.cfg
+        old = {k: getattr(cfg, k) for k in kv}
+        for k, v in kv.items():
+            setattr(cfg, k, v)
+        try:
+            yield
+        finally:
+            for k, v in old.items():
+                setattr(cfg, k, v)
+
+    @staticmethod
+    def _pixel_flag(req: dict) -> bool:
+        # "pixel": true -> strips return as uint8 pixels converted ON
+        # DEVICE (4x smaller device pull AND response payload)
+        px = req.get("pixel", False)
+        if not isinstance(px, bool):   # reject "false"/1/...: a string
+            raise ValueError('"pixel" must be a JSON boolean')
+        return px
+
+    @staticmethod
+    def _strip_payload(strips: dict) -> dict:
+        first = next(iter(strips.values()))
+        return {"strips": {str(pc): _b64(s) for pc, s in strips.items()},
+                "shape": list(first.shape), "dtype": str(first.dtype)}
+
     def edit(self, req: dict) -> dict:
         h, w, c = self.denoiser.sample_shape
         mask = None
@@ -114,41 +152,78 @@ class EditService:
             mask = np.zeros((1, h, w, c), bool)
             mask[:, y0:y1, x0_:x1, :] = True
         x0, xT = self._resolve_input(req)
+        px = self._pixel_flag(req)
         rank = int(req.get("pca_rank") or self.pipe.cfg.pca_rank)
         name = self._cache_name(req, rank)
         with self.lock:
             t0 = time.perf_counter()
-            old_rank = self.pipe.cfg.pca_rank
-            old_vis_pc = self.pipe.cfg.vis_num_pc
-            old_nsp = self.pipe.cfg.null_space_projection
-            old_px = self.pipe.cfg.pixel_output
-            # "pixel": true -> strips return as uint8 pixels converted ON
-            # DEVICE (4x smaller device pull AND response payload)
-            px = req.get("pixel", False)
-            if not isinstance(px, bool):   # reject "false"/1/...: a string
-                raise ValueError('"pixel" must be a JSON boolean')
-            self.pipe.cfg.pixel_output = px
-            self.pipe.cfg.pca_rank = rank
-            # API contract: one strip per requested principal component
-            self.pipe.cfg.vis_num_pc = rank
-            if mask is None:
-                # null-space projection needs a mask; fall back to the
-                # unprojected basis for maskless requests
-                self.pipe.cfg.null_space_projection = False
-            try:
+            # API contract: one strip per requested principal component;
+            # null-space projection needs a mask — maskless requests fall
+            # back to the unprojected basis
+            with self._cfg_overrides(
+                    pixel_output=px, pca_rank=rank, vis_num_pc=rank,
+                    null_space_projection=(
+                        self.pipe.cfg.null_space_projection
+                        and mask is not None)):
                 out = self.pipe.run_edit_null_space_projection(
                     x0=x0, xT=xT, mask=mask, sample_name=name)
-            finally:
-                self.pipe.cfg.pca_rank = old_rank
-                self.pipe.cfg.vis_num_pc = old_vis_pc
-                self.pipe.cfg.null_space_projection = old_nsp
-                self.pipe.cfg.pixel_output = old_px
             secs = time.perf_counter() - t0
             self.edits_served += 1
-        strips = {str(pc): _b64(s) for pc, s in out["strips"].items()}
-        shape = list(next(iter(out["strips"].values())).shape)
-        dtype = str(next(iter(out["strips"].values())).dtype)
-        return {"strips": strips, "shape": shape, "dtype": dtype,
+        return {**self._strip_payload(out["strips"]), "secs": round(secs, 3)}
+
+    def edit_batch(self, req: dict) -> dict:
+        """Throughput form: resolve every item, then run ONE batched
+        inversion program (all image items together) and one batched forward
+        via pipelines/uncond.py run_edit_batch. Mask semantics follow /edit
+        per item — but null-space projection is a whole-batch property, so
+        one maskless item switches the entire batch to the unprojected
+        basis (documented in the module header)."""
+        items = req.get("items")
+        if not isinstance(items, list) or not items:
+            raise ValueError('"items" must be a non-empty list')
+        px = self._pixel_flag(req)
+        h, w, c = self.denoiser.sample_shape
+        rank = int(req.get("pca_rank") or self.pipe.cfg.pca_rank)
+        n = len(items)
+
+        xTs = np.zeros((n, h, w, c), np.float32)
+        masks = np.zeros((n, h, w, c), bool)
+        img_rows, img_stack, names = [], [], []
+        all_masked = True
+        for i, it in enumerate(items):
+            if not isinstance(it, dict):
+                raise ValueError('"items" entries must be objects')
+            x0, xT = self._resolve_input(it)
+            if x0 is not None:
+                img_rows.append(i)
+                img_stack.append(x0[0])
+            else:
+                xTs[i] = xT[0]
+            if it.get("mask_bbox"):
+                y0, y1, x0_, x1 = it["mask_bbox"]
+                masks[i, y0:y1, x0_:x1, :] = True
+            else:
+                # all-ones == extract_basis's maskless path bit-for-bit
+                # (pipelines/uncond.py:200-201)
+                masks[i] = True
+                all_masked = False
+            names.append(it.get("sample_name") or self._cache_name(it, rank))
+
+        with self.lock:
+            t0 = time.perf_counter()
+            with self._cfg_overrides(
+                    pixel_output=px, pca_rank=rank, vis_num_pc=rank,
+                    null_space_projection=(
+                        self.pipe.cfg.null_space_projection and all_masked)):
+                if img_rows:   # ONE inversion program for every image item
+                    inv = np.asarray(self.pipe.invert(
+                        np.stack(img_stack).astype(np.float32)))
+                    xTs[img_rows] = inv
+                results = self.pipe.run_edit_batch(
+                    xTs=xTs, masks=masks, sample_names=names)
+            secs = time.perf_counter() - t0
+            self.edits_served += n
+        return {"results": [self._strip_payload(r["strips"]) for r in results],
                 "secs": round(secs, 3)}
 
     def invert(self, req: dict) -> dict:
@@ -209,6 +284,8 @@ def make_server(service: EditService, port: int = 8787) -> ThreadingHTTPServer:
                 req = json.loads(self.rfile.read(n) or b"{}")
                 if self.path == "/edit":
                     return self._send(200, service.edit(req))
+                if self.path == "/edit_batch":
+                    return self._send(200, service.edit_batch(req))
                 if self.path == "/invert":
                     return self._send(200, service.invert(req))
                 if self.path == "/segment":

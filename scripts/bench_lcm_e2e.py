@@ -5,7 +5,7 @@ sampling, edit.py:42-479) end to end at the real LCM_Dreamshaper_v7 geometry
 (SD-1.5 backbone + guidance-scale embedding, bf16, synthetic params — timing
 is weight-independent): seeded zT -> 2-step forward to edit_t_idx=2 ->
 semantic prompt-delta direction (one VJP through UNet + 512px VAE decoder) ->
-rank-5 complement-mask null basis (10 fixed sweeps, probe_chunk=2, remat'd
+rank-5 complement-mask null basis (10 fixed sweeps, probe_chunk=8, remat'd
 decoder pullback — the SD-scale HBM recipe, BENCH.md round 3) -> null
 projection -> x-space walk strip -> 2-step completion -> 512px VAE decode to
 uint8-ready images, everything materialized to host before the clock stops.
@@ -88,7 +88,7 @@ def main():
         num_inference_steps=4, edit_t_idx=2, guidance_scale=8.0,
         x_space_guidance_scale=5.0, x_space_guidance_num_step=1, vis_num=1,
         pca_rank=1, pca_rank_null=5, null_space_projection=True,
-        min_iter=9, max_iter=10, convergence_threshold=0.0, probe_chunk=2,
+        min_iter=9, max_iter=10, convergence_threshold=0.0, probe_chunk=8,
         result_folder=td, save_images=False)
     pipe = LCMEditPipeline(unet_apply, decode, prompt_encoder, cfg,
                            seed_everything(11))

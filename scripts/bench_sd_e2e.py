@@ -10,8 +10,8 @@ x_space_guidance_num_step 1) end to end at the real SD 2.1-base geometry
   seeded zT -> 100-step CFG generation "null+(for-null)" to 0.7T (the first
   30 steps) -> semantic delta direction (one VJP of the prompt-delta against
   the PMP THROUGH the 512px VAE decoder) -> rank-5 complement-mask null
-  basis (10 fixed sweeps, probe_chunk=2 + per-block remat — the 16G-HBM
-  recipe, BENCH.md round 3) -> null projection -> x-space walk strip (3
+  basis (10 fixed sweeps, probe_chunk=8 — the full bf16 probe tile fits
+  under per-block remat; the 16G-HBM recipe, BENCH.md round 3) -> null projection -> x-space walk strip (3
   frames) -> 70-step CFG completion -> 512px VAE decode, all strips
   materialized to host before the clock stops.
 
@@ -89,7 +89,7 @@ def main():
         guidance_scale=7.5, guidance_scale_edit=4.0,
         x_space_guidance_scale=8.0, x_space_guidance_num_step=1, vis_num=1,
         pca_rank=1, pca_rank_null=5, null_space_projection=True,
-        min_iter=9, max_iter=10, convergence_threshold=0.0, probe_chunk=2,
+        min_iter=9, max_iter=10, convergence_threshold=0.0, probe_chunk=8,
         tilda_v_score_type="null+(for-null)+(edit-null)",
         result_folder=td, save_images=False)
     pipe = SDEditPipeline(unet_apply, decode,

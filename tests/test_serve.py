@@ -150,6 +150,44 @@ def test_segment_endpoint_all_tpu_sam(server, tmp_path):
     assert status2 == 200 and out2["shape"] == out["shape"]
 
 
+def test_edit_batch_matches_single(server):
+    """/edit_batch runs N items through the batched pipeline; a maskless
+    item in the batch must reproduce the single maskless /edit to fp
+    tolerance (same seed, same unprojected-basis fallback, same boost noise
+    stream after a counter reset; the batched forward runs at batch 2, so
+    XLA may reassociate reductions — measured drift ~5e-6 relative), and
+    distinct items must get distinct strips."""
+    import base64
+
+    base, service = server
+    # fresh boost-tail noise stream for both runs (cross-call comparisons
+    # need the per-call counter pinned — see test_edit_pixel_option)
+    service.pipe._boost_calls = 0
+    _, single = _post(base + "/edit", {"seed": 61, "sample_name": "b-ref61"})
+    service.pipe._boost_calls = 0
+    status, out = _post(base + "/edit_batch", {"items": [
+        {"seed": 61}, {"seed": 62, "mask_bbox": [8, 20, 8, 20]}]})
+    assert status == 200 and len(out["results"]) == 2 and out["secs"] > 0
+    r0, r1 = out["results"]
+    b0 = np.frombuffer(base64.b64decode(r0["strips"]["0"]), np.float32)
+    s0 = np.frombuffer(base64.b64decode(single["strips"]["0"]), np.float32)
+    scale = np.max(np.abs(s0))
+    np.testing.assert_allclose(b0, s0, atol=3e-5 * max(scale, 1.0))
+    b1 = np.frombuffer(base64.b64decode(r1["strips"]["0"]), np.float32)
+    assert not np.allclose(b0, b1)
+    assert service.pipe.cfg.null_space_projection  # server default restored
+
+
+def test_edit_batch_rejects_bad_items(server):
+    base, _ = server
+    for bad in ({"items": []}, {"items": "nope"}, {}):
+        try:
+            status, _ = _post(base + "/edit_batch", bad)
+        except urllib.error.HTTPError as e:
+            status = e.code
+        assert status == 500
+
+
 def test_edit_pixel_option_returns_uint8(server):
     """"pixel": true returns the strips as on-device-converted uint8 pixels
     (dtype advertised in the response, payload 4x smaller), equal to the
