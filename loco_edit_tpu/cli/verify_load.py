@@ -137,10 +137,13 @@ def _verify_ddpm(path: str, model_name: str, cfg=None, oracle: bool = True) -> d
            "keys": len(sd), "params": _param_count(params),
            "forward": _finite("ddpm", y)}
     if oracle:
+        # probe the environment instead of hardcoding its state: on a
+        # machine WITH diffusers the report must say so, not claim the
+        # oracle is impossible (sdedit-named checkpoints always get the
+        # /root/reference torch oracle)
         rep["oracle"] = (_ddpm_oracle(sd, cfg, x, t, np.asarray(y))
                          if not diffusers_named else
-                         "unavailable (diffusers UNet2DModel not installed; "
-                         "sdedit-named checkpoints get a torch oracle)")
+                         _diffusers_note("UNet2DModel"))
     return rep
 
 

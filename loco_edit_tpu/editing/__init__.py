@@ -2,7 +2,7 @@ from loco_edit_tpu.editing.pullback import (EditBasis, dual_subspace_iteration,
                                             subspace_iteration)
 from loco_edit_tpu.editing.nullspace import null_space_project, normalize_rows
 from loco_edit_tpu.editing.walk import x_space_guidance_strip
-from loco_edit_tpu.editing.directions import save_directions, load_directions
+from loco_edit_tpu.editing.directions import save_directions, load_directions, mask_cache_tag
 
 __all__ = [
     "EditBasis",
@@ -13,4 +13,5 @@ __all__ = [
     "x_space_guidance_strip",
     "save_directions",
     "load_directions",
+    "mask_cache_tag",
 ]

@@ -15,6 +15,23 @@ from typing import Any
 import numpy as np
 
 
+def mask_cache_tag(mask) -> str:
+    """Cache-key fragment identifying the edit mask.
+
+    The reference keys its basis cache directory by the selected mask
+    (``...-select-mask{mask_index}``, edit.py:966/:1790) so that re-running
+    with a different --mask_index recomputes rather than reloading the
+    previous mask's bases. Pipelines here receive the mask *array*, so the
+    tag hashes the content — stricter than an index (two runs whose
+    sampling produced different masks under the same index also miss).
+    """
+    if mask is None:
+        return "nomask"
+    m = np.ascontiguousarray(np.asarray(mask, dtype=bool))
+    import zlib
+    return f"mask{zlib.crc32(m.tobytes()) & 0xFFFFFFFF:08x}"
+
+
 def save_directions(path: str, vT: np.ndarray, **metadata: Any) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     np.savez(path, vT=np.asarray(vT), **{k: np.asarray(v) for k, v in metadata.items()})

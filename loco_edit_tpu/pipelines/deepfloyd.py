@@ -29,6 +29,7 @@ from loco_edit_tpu.diffusion.sampling import ddim_scan
 from loco_edit_tpu.diffusion.scheduler import ddim_step
 from loco_edit_tpu.editing import (
     load_directions,
+    mask_cache_tag,
     normalize_rows,
     null_space_project,
     save_directions,
@@ -281,10 +282,14 @@ class IFEditPipeline:
         # every file of the configured rank/edit_t/mask exists, skipping the
         # power iteration on the resumed run)
         basis_dir = os.path.join(out_dir, "basis")
+        # mask identity is part of the key (reference: select-mask{mask_index}
+        # in the basis dir, edit.py:1790) — a --mask_index switch recomputes
+        tag = mask_cache_tag(mask)
         modify_path = os.path.join(
-            basis_dir, f"vT-modify-{cfg.edit_t}T-rank{cfg.pca_rank}.npz")
+            basis_dir, f"vT-modify-{cfg.edit_t}T-rank{cfg.pca_rank}-{tag}.npz")
         null_path = os.path.join(
-            basis_dir, f"vT-null-{cfg.edit_t}T-rank{cfg.pca_rank_null}.npz")
+            basis_dir,
+            f"vT-null-{cfg.edit_t}T-rank{cfg.pca_rank_null}-{tag}.npz")
         cached = (not semantic and os.path.exists(modify_path)
                   and (not cfg.null_space_projection
                        or os.path.exists(null_path)))

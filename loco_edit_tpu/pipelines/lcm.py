@@ -72,10 +72,23 @@ class LCMEditPipeline:
         self.w = cfg.guidance_scale - 1.0
         # test hook: deterministic inter-step noise for cross-implementation
         # goldens (noise_fn(step_idx, shape, dtype); None = fresh JAX keys)
-        self.noise_fn = None
+        self._noise_fn = None
+        self._noise_ver = 0
         self._emb_cache: dict[str, jnp.ndarray] = {}
         self._jit_cache: dict = {}
         os.makedirs(cfg.result_folder, exist_ok=True)
+
+    @property
+    def noise_fn(self):
+        return self._noise_fn
+
+    @noise_fn.setter
+    def noise_fn(self, fn):
+        # the hook's noise is baked into the traced program as constants, so
+        # assigning (or clearing) it must invalidate forward_steps' jit cache:
+        # the version counter is part of the cache key below
+        self._noise_fn = fn
+        self._noise_ver += 1
 
     def emb(self, prompt: str) -> jnp.ndarray:
         if prompt not in self._emb_cache:
@@ -101,7 +114,8 @@ class LCMEditPipeline:
                       end_idx: int | None = None):
         """(z_next, denoised) over LCM grid steps (edit.py:147-203)."""
         f = self._eps_fn(prompt)
-        key = ("fwd", z.shape[0], prompt, start_idx, end_idx)
+        key = ("fwd", z.shape[0], prompt, start_idx, end_idx,
+               self._noise_ver if self._noise_fn is not None else None)
         fn = self._jit(key, lambda: jax.jit(
             lambda zz, k: lcm_scan(f, zz, self.grid, k, start_idx, end_idx,
                                    noise_fn=self.noise_fn)))
@@ -147,8 +161,10 @@ class LCMEditPipeline:
                 g, z, key, rank=rank, mask=mw, min_iter=cfg.min_iter,
                 max_iter=cfg.max_iter, tol=cfg.convergence_threshold,
                 probe_chunk=chunk,
-                # matched-probe starts for cross-implementation goldens
-                pad_probes=v_init is None, v_init=v_init)
+                # matched-probe starts for cross-implementation goldens pin
+                # the probe batch (no padding); otherwise the None default
+                # pads only on TPU, like the SD/IF engines
+                pad_probes=None if v_init is None else False, v_init=v_init)
 
         if v_init is not None:   # probe-matched runs: don't cache on stale probes
             fn = jax.jit(run)

@@ -25,6 +25,7 @@ from loco_edit_tpu.diffusion import LinspaceDDIM
 from loco_edit_tpu.diffusion.sampling import ddim_scan
 from loco_edit_tpu.editing import (
     load_directions,
+    mask_cache_tag,
     normalize_rows,
     null_space_project,
     save_directions,
@@ -55,7 +56,11 @@ def _auto_probe_chunk(configured: int | None,
         return configured
     try:
         if jax.default_backend() == "tpu":
-            return 8 if compute_dtype in ("bf16", "bfloat16") else 2
+            # --dtype fp16 maps to bfloat16 compute (t2i_registry.py
+            # load_sd_bundle), so it gets the bf16 full-tile default too
+            if compute_dtype in ("bf16", "bfloat16", "fp16", "float16"):
+                return 8
+            return 2
     except RuntimeError:
         pass
     return None
@@ -277,10 +282,14 @@ class SDEditPipeline:
         # (edit.py:966-999 reloads u/vT-modify + u/vT-null when every file of
         # the configured rank/edit_t exists, skipping the power iteration)
         basis_dir = os.path.join(out_dir, "basis")
+        # mask identity is part of the key (reference: select-mask{mask_index}
+        # in the basis dir, edit.py:966) — a --mask_index switch recomputes
+        tag = mask_cache_tag(mask)
         modify_path = os.path.join(
-            basis_dir, f"vT-modify-{cfg.edit_t}T-rank{cfg.pca_rank}.npz")
+            basis_dir, f"vT-modify-{cfg.edit_t}T-rank{cfg.pca_rank}-{tag}.npz")
         null_path = os.path.join(
-            basis_dir, f"vT-null-{cfg.edit_t}T-rank{cfg.pca_rank_null}.npz")
+            basis_dir,
+            f"vT-null-{cfg.edit_t}T-rank{cfg.pca_rank_null}-{tag}.npz")
         cached = (not semantic and os.path.exists(modify_path)
                   and (not cfg.null_space_projection
                        or os.path.exists(null_path)))

@@ -29,6 +29,7 @@ from loco_edit_tpu.editing import (
     EditBasis,
     dual_subspace_iteration,
     load_directions,
+    mask_cache_tag,
     null_space_project,
     normalize_rows,
     save_directions,
@@ -246,8 +247,14 @@ class UncondEditPipeline:
         cfg = self.cfg
         basis_dir = os.path.join(out_dir, "basis",
                                  f"local_basis-{cfg.edit_t}T")
-        mod_path = os.path.join(basis_dir, f"vT-modify-rank-{cfg.pca_rank}.npz")
-        null_path = os.path.join(basis_dir, f"vT-null-{cfg.pca_rank_null}.npz")
+        # the mask is part of the cache key (the reference's basis dir embeds
+        # select-mask{mask_index}, edit.py:2283-2336): switching --mask_index
+        # must recompute, not reload the previous mask's bases
+        tag = mask_cache_tag(mask)
+        mod_path = os.path.join(
+            basis_dir, f"vT-modify-rank-{cfg.pca_rank}-{tag}.npz")
+        null_path = os.path.join(
+            basis_dir, f"vT-null-{cfg.pca_rank_null}-{tag}.npz")
 
         # When BOTH bases must be computed fresh (and their padded probe
         # batches agree), fuse them into one program on the shared Jacobian

@@ -13,15 +13,19 @@ scale-out is one process per chip behind any HTTP balancer.
                  "pca_rank": int?, "sample_name": str?}
              -> {"strips": {pc: <b64 bytes>}, "shape": [...], "dtype": "float32"
                  | "uint8" (with "pixel": true — on-device PNG-payload
-                 conversion, 4x smaller pull+response), "secs": float}
+                 conversion, 4x smaller pull+response),
+                 "null_space_projection": bool (false = maskless fallback to
+                 the unprojected basis), "secs": float}
   POST /edit_batch {"items": [{"seed" | "image", "mask_bbox"?, "sample_name"?},
                  ...], "pixel": bool?, "pca_rank": int?}
-             -> {"results": [<per-item /edit payload>], "secs": float}
+             -> {"results": [<per-item /edit payload>],
+                 "null_space_projection": bool, "secs": float}
                 (throughput form: ONE batched inversion program for all image
                 items and one batched forward for the whole set — see
-                pipelines/uncond.py run_edit_batch; items without "mask_bbox"
-                fall back to the unprojected basis for the WHOLE batch, like
-                the maskless /edit fallback)
+                pipelines/uncond.py run_edit_batch; projection is a
+                whole-batch property, so ONE item without "mask_bbox"
+                downgrades the batch to the unprojected basis — the response
+                flag, batch-level and per item, says which basis was used)
   POST /invert  {"image": <b64>, "refine_steps": int?}   (exact-inversion
                 fixed-point depth; default = server --inv_refine_steps)
              -> {"xT": <b64>, "shape": [...]}
@@ -159,17 +163,17 @@ class EditService:
             t0 = time.perf_counter()
             # API contract: one strip per requested principal component;
             # null-space projection needs a mask — maskless requests fall
-            # back to the unprojected basis
+            # back to the unprojected basis (signalled in the response)
+            nsp = (self.pipe.cfg.null_space_projection and mask is not None)
             with self._cfg_overrides(
                     pixel_output=px, pca_rank=rank, vis_num_pc=rank,
-                    null_space_projection=(
-                        self.pipe.cfg.null_space_projection
-                        and mask is not None)):
+                    null_space_projection=nsp):
                 out = self.pipe.run_edit_null_space_projection(
                     x0=x0, xT=xT, mask=mask, sample_name=name)
             secs = time.perf_counter() - t0
             self.edits_served += 1
-        return {**self._strip_payload(out["strips"]), "secs": round(secs, 3)}
+        return {**self._strip_payload(out["strips"]),
+                "null_space_projection": nsp, "secs": round(secs, 3)}
 
     def edit_batch(self, req: dict) -> dict:
         """Throughput form: resolve every item, then run ONE batched
@@ -211,10 +215,14 @@ class EditService:
 
         with self.lock:
             t0 = time.perf_counter()
+            # projection is a whole-batch property: one maskless item
+            # downgrades the batch to the unprojected basis, so the response
+            # carries the flag (batch-level AND per item) rather than
+            # relying on the module-docstring caveat alone
+            nsp = self.pipe.cfg.null_space_projection and all_masked
             with self._cfg_overrides(
                     pixel_output=px, pca_rank=rank, vis_num_pc=rank,
-                    null_space_projection=(
-                        self.pipe.cfg.null_space_projection and all_masked)):
+                    null_space_projection=nsp):
                 if img_rows:   # ONE inversion program for every image item
                     inv = np.asarray(self.pipe.invert(
                         np.stack(img_stack).astype(np.float32)))
@@ -223,8 +231,10 @@ class EditService:
                     xTs=xTs, masks=masks, sample_names=names)
             secs = time.perf_counter() - t0
             self.edits_served += n
-        return {"results": [self._strip_payload(r["strips"]) for r in results],
-                "secs": round(secs, 3)}
+        return {"results": [
+                    {**self._strip_payload(r["strips"]),
+                     "null_space_projection": nsp} for r in results],
+                "null_space_projection": nsp, "secs": round(secs, 3)}
 
     def invert(self, req: dict) -> dict:
         h, w, c = self.denoiser.sample_shape

@@ -96,3 +96,26 @@ def test_lcm_sega(lcm_pipe_factory):
     out = pipe.run_edit_null_space_projection_zt(
         for_prompt="a man", edit_prompt="smiling", sample_name="s2")
     assert np.all(np.isfinite(out["image"]))
+
+
+def test_noise_fn_hook_invalidates_jit_cache(lcm_pipe_factory):
+    """The noise_fn hook's values are baked into the traced program as
+    constants, so setting/clearing it with an otherwise-identical call
+    signature must retrace, not replay the cached program."""
+    pipe = lcm_pipe_factory()
+    z = jnp.asarray(np.random.default_rng(0).normal(size=(1, 8, 8, 4))
+                    .astype(np.float32))
+
+    out_fresh = np.asarray(pipe.forward_steps(z, "p", 0, 2)[0])
+    pipe.noise_fn = lambda i, shape, dtype: jnp.full(shape, 0.25, dtype)
+    out_hooked = np.asarray(pipe.forward_steps(z, "p", 0, 2)[0])
+    assert not np.allclose(out_fresh, out_hooked), \
+        "hooked noise silently ignored (stale jit cache)"
+    # deterministic hook -> repeat call is bit-identical
+    np.testing.assert_array_equal(
+        out_hooked, np.asarray(pipe.forward_steps(z, "p", 0, 2)[0]))
+    # clearing the hook returns to the fresh-key stream (a different draw)
+    pipe.noise_fn = None
+    out_cleared = np.asarray(pipe.forward_steps(z, "p", 0, 2)[0])
+    assert not np.allclose(out_hooked, out_cleared), \
+        "cleared hook kept replaying the baked golden noise"

@@ -216,3 +216,29 @@ def test_run_edit_batch_matches_sequential_singles(pipeline_factory):
         assert any(f.startswith("vT-modify") for f in files)
         assert any(f.startswith("vT-null") for f in files)
         assert any(f.startswith("pc_000") for f in files)
+
+
+def test_basis_cache_keyed_by_mask(pipeline_factory):
+    """Switching the mask (the reference's --mask_index re-run,
+    edit.py:2283-2336 keys the cache dir by select-mask{i}) must RECOMPUTE
+    the bases, not silently reload the previous mask's files."""
+    pipe, root = pipeline_factory()
+    x0 = np.random.default_rng(3).normal(size=(1, 32, 32, 3)).astype(np.float32) * 0.3
+    mask_a = np.zeros((1, 32, 32, 3), bool)
+    mask_a[:, 4:14, 4:14, :] = True
+    mask_b = np.zeros((1, 32, 32, 3), bool)
+    mask_b[:, 18:28, 18:28, :] = True
+
+    out_a = pipe.run_edit_null_space_projection(x0=x0, mask=mask_a,
+                                                sample_name="sm")
+    out_b = pipe.run_edit_null_space_projection(x0=x0, mask=mask_b,
+                                                sample_name="sm")
+    # distinct masks -> distinct cached files -> genuinely different bases
+    d = os.path.join(out_a["out_dir"], "basis", "local_basis-0.6T")
+    mods = [f for f in os.listdir(d) if f.startswith("vT-modify")]
+    assert len(mods) == 2, f"expected one cache file per mask, got {mods}"
+    assert not np.allclose(out_a["vT"], out_b["vT"], atol=1e-4)
+    # and the same mask again is a pure cache hit (bitwise-equal basis)
+    out_a2 = pipe.run_edit_null_space_projection(x0=x0, mask=mask_a,
+                                                 sample_name="sm")
+    np.testing.assert_array_equal(out_a["vT"], out_a2["vT"])

@@ -50,7 +50,7 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 from loco_edit_tpu.core.rng import seed_everything  # noqa: E402
-from loco_edit_tpu.editing import save_directions, subspace_iteration  # noqa: E402
+from loco_edit_tpu.editing import mask_cache_tag, save_directions, subspace_iteration  # noqa: E402
 from loco_edit_tpu.pipelines.deepfloyd import IFEditConfig, IFEditPipeline  # noqa: E402
 
 C = 8          # twin-net width
@@ -605,17 +605,19 @@ def test_full_run_nonsemantic_cached_basis_null_projection(
     ours_dir = tmp_path / "ours"
     pipe = _make_ours(shared, ours_dir, null_space_projection=True)
     basis_dir = os.path.join(str(ours_dir), "golden", "basis")
+    mask_j = np.broadcast_to(shared.mask[0, 0][None, :, :, None],
+                             (1, IMG, IMG, 3))
+    tag = mask_cache_tag(mask_j)
     save_directions(
-        os.path.join(basis_dir, f"vT-modify-{EDIT_T}T-rank{RANK}.npz"),
+        os.path.join(basis_dir, f"vT-modify-{EDIT_T}T-rank{RANK}-{tag}.npz"),
         _flat_chw_to_hwc(vT_modify, 3, IMG, IMG))
     save_directions(
-        os.path.join(basis_dir, f"vT-null-{EDIT_T}T-rank{RANK_NULL}.npz"),
+        os.path.join(basis_dir, f"vT-null-{EDIT_T}T-rank{RANK_NULL}-{tag}.npz"),
         _flat_chw_to_hwc(vT_null, 3, IMG, IMG))
     out = pipe.run_edit_null_space_projection_xt(
         "a photo of a fox", "a sleeping fox",
         xT=jnp.asarray(_nchw_to_nhwc(shared.xT)),
-        mask=np.broadcast_to(shared.mask[0, 0][None, :, :, None],
-                             (1, IMG, IMG, 3)),
+        mask=mask_j,
         sample_name="golden", semantic=False)
 
     strip_ref = captured["strip"].numpy()

@@ -45,7 +45,7 @@ import jax.numpy as jnp  # noqa: E402
 
 from loco_edit_tpu.core.rng import seed_everything  # noqa: E402
 from loco_edit_tpu.diffusion import LinspaceDDIM  # noqa: E402
-from loco_edit_tpu.editing import save_directions, subspace_iteration  # noqa: E402
+from loco_edit_tpu.editing import mask_cache_tag, save_directions, subspace_iteration  # noqa: E402
 from loco_edit_tpu.pipelines.sd import SDEditConfig, SDEditPipeline  # noqa: E402
 
 C = 8          # twin-net width
@@ -483,16 +483,17 @@ def test_full_edit_strip_parity_cached_basis(shared, tmp_path):
     # our cache layout (pipelines/sd.py run_edit_null_space_projection_zt)
     ours_dir = tmp_path / "ours"
     out_dir = ours_dir / "golden"
+    mask_j = np.broadcast_to(shared.mask[0, 0][None, :, :, None],
+                             (1, IMG, IMG, 3)).astype(bool)
+    tag = mask_cache_tag(mask_j)
     save_directions(str(out_dir / "basis" /
-                        f"vT-modify-{EDIT_T}T-rank{RANK}.npz"),
+                        f"vT-modify-{EDIT_T}T-rank{RANK}-{tag}.npz"),
                     _flat_chw_to_hwc(vT_modify, 4, LAT, LAT), edit_t=EDIT_T)
     save_directions(str(out_dir / "basis" /
-                        f"vT-null-{EDIT_T}T-rank{RANK_NULL}.npz"),
+                        f"vT-null-{EDIT_T}T-rank{RANK_NULL}-{tag}.npz"),
                     _flat_chw_to_hwc(vT_null, 4, LAT, LAT), edit_t=EDIT_T)
 
     pipe = _make_ours(shared, ours_dir)
-    mask_j = np.broadcast_to(shared.mask[0, 0][None, :, :, None],
-                             (1, IMG, IMG, 3)).astype(bool)
     out = pipe.run_edit_null_space_projection_zt(
         "a photo of a cat", "a smiling cat",
         zT=jnp.asarray(_nchw_to_nhwc(shared.zT)), mask=mask_j,
