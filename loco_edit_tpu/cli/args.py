@@ -106,6 +106,9 @@ def parse_args(argv=None):
     add("--probe_chunk", type=int, default=0, help="0 = all probes batched")
     add("--mesh_probe", type=int, default=0,
         help="shard probes over this many devices (0 = single device)")
+    add("--mesh_data", type=int, default=0,
+        help="DP-shard the walk-strip / batch-edit frame axis over this "
+             "many devices (0 = single device)")
     add("--mesh_sp", type=int, default=0,
         help="shard the image height over this many devices (spatial "
              "parallelism for batch-1 inversion/pullback; 0 = off)")

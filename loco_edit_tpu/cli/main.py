@@ -52,6 +52,7 @@ def build_uncond_pipeline(args):
         encoder_decoder_by_et=args.encoder_decoder_by_et,
         probe_chunk=args.probe_chunk or None,
         mesh_probe=args.mesh_probe,
+        mesh_data=args.mesh_data,
         memory_bound=args.memory_bound,
         pixel_output=args.pixel_output,
         result_folder=args.result_folder,

@@ -24,12 +24,24 @@ def mask_cache_tag(mask) -> str:
     previous mask's bases. Pipelines here receive the mask *array*, so the
     tag hashes the content — stricter than an index (two runs whose
     sampling produced different masks under the same index also miss).
+
+    The hash covers the mask's RAW bytes in its given dtype plus its shape
+    and dtype (subspace_iteration accepts SOFT float mask weights —
+    pullback.py — so two soft masks with the same support must NOT collide;
+    a bool mask and its float cast hash differently by design, matching the
+    distinct programs they run), digested with sha1 (this keys correctness —
+    a collision silently reloads the wrong basis — so a 32-bit crc is too
+    weak).
     """
     if mask is None:
         return "nomask"
-    m = np.ascontiguousarray(np.asarray(mask, dtype=bool))
-    import zlib
-    return f"mask{zlib.crc32(m.tobytes()) & 0xFFFFFFFF:08x}"
+    import hashlib
+    m = np.ascontiguousarray(np.asarray(mask))
+    h = hashlib.sha1()
+    h.update(str(m.dtype).encode())
+    h.update(np.asarray(m.shape, np.int64).tobytes())
+    h.update(m.tobytes())
+    return f"mask{h.hexdigest()[:12]}"
 
 
 def save_directions(path: str, vT: np.ndarray, **metadata: Any) -> None:

@@ -86,9 +86,15 @@ class LCMEditPipeline:
     def noise_fn(self, fn):
         # the hook's noise is baked into the traced program as constants, so
         # assigning (or clearing) it must invalidate forward_steps' jit cache:
-        # the version counter is part of the cache key below
+        # the version counter is part of the cache key below. Superseded
+        # hooked traces are EVICTED (they pin device buffers via their baked
+        # noise constants; repeated set/clear cycles would otherwise leak a
+        # compiled program per assignment).
         self._noise_fn = fn
         self._noise_ver += 1
+        self._jit_cache = {k: v for k, v in self._jit_cache.items()
+                           if not (k[0] == "fwd" and k[-1] is not None
+                                   and k[-1] != self._noise_ver)}
 
     def emb(self, prompt: str) -> jnp.ndarray:
         if prompt not in self._emb_cache:

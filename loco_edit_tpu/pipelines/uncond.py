@@ -69,6 +69,13 @@ class UncondEditConfig:
     probe_chunk: int | None = None
     mesh_probe: int = 0          # shard probes over this many devices (0 = off)
     memory_bound: int = 0        # chunk strip denoise batches (0 = no chunking)
+    # DP-shard the walk-strip / batch-edit frame axis over this many devices
+    # (0 = off). This is SURVEY §5.7's second parallel axis: the reference
+    # host-chunks strip denoise to bound memory (edit.py:723-746,2561-2593);
+    # here the frame batch is one SPMD program over a "data" mesh instead of
+    # a host loop — the dominant E2E leg (48 boosted denoise frames, ~7.7 s
+    # of the 10.85 s flagship edit single-chip) splits across chips.
+    mesh_data: int = 0
     # Return edited strips as uint8 pixels, converted ON DEVICE (the exact
     # PNG payload; reference buffers uint8 chunks in its IF sampler,
     # edit.py:1450-1475). 4x smaller device->host pull — ~1 s/edit on the
@@ -145,10 +152,35 @@ class UncondEditPipeline:
         ragged ones sit lower (batch 18: 53%, batch 45: 66%, batch 9: 41%),
         so 3 x 16-frame programs denoise the 45-frame strip set in 7.72 s vs
         7.88 s for one batch-45 program and 12.74 s for the reference's five
-        per-PC batch-9 programs (scripts/bench_strip_variants.py)."""
+        per-PC batch-9 programs (scripts/bench_strip_variants.py).
+
+        With cfg.mesh_data > 1 the host loop is replaced by ONE SPMD program:
+        the frame axis is padded to the mesh and sharded over the "data"
+        axis, so XLA splits the whole denoise scan across chips with no
+        collectives in the loop body (the frames are independent) — each
+        chip denoises b/N frames at its own tile-aligned batch. The eta-tail
+        noise stays a single jax.random draw over the full batch, which is
+        deterministic under SPMD partitioning, so a sharded run produces the
+        SAME pixels as the unsharded program of the same shape (asserted in
+        __graft_entry__.dryrun_multichip)."""
         from loco_edit_tpu.utils.chunk import map_chunked
 
         xt = jnp.asarray(xt)
+        ds = self._data_sharding()
+        if ds is not None:
+            n = int(ds.mesh.devices.size)
+            b = xt.shape[0]
+            # per-device sublane alignment on TPU (ragged small batches waste
+            # tiles AND relayout — BENCH.md batch sweep); plain mesh multiple
+            # elsewhere so the dryrun exercises the exact shipped padding
+            unit = n * 8 if jax.default_backend() == "tpu" and b > n else n
+            pad = (-b) % unit
+            if pad:
+                xt = jnp.concatenate(
+                    [xt, jnp.zeros((pad,) + xt.shape[1:], xt.dtype)], axis=0)
+            out = self.generate(jax.device_put(xt, ds), start_idx, end_idx,
+                                boost)
+            return out[:b] if pad else out
         bound = self.cfg.memory_bound
         if not bound and xt.shape[0] > 16:
             try:
@@ -179,6 +211,19 @@ class UncondEditPipeline:
         mesh = make_mesh({PROBE_AXIS: self.cfg.mesh_probe},
                          devices=jax.devices()[:self.cfg.mesh_probe])
         return NamedSharding(mesh, P(PROBE_AXIS))
+
+    def _data_sharding(self):
+        """NamedSharding over the frame/sample batch axis when
+        --mesh_data > 1 (the walk-strip / batch-edit axis, SURVEY §5.7)."""
+        if self.cfg.mesh_data <= 1:
+            return None
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from loco_edit_tpu.core.mesh import DATA_AXIS, make_mesh
+
+        mesh = make_mesh({DATA_AXIS: self.cfg.mesh_data},
+                         devices=jax.devices()[:self.cfg.mesh_data])
+        return NamedSharding(mesh, P(DATA_AXIS))
 
     def extract_basis(self, xt: jnp.ndarray, mask: np.ndarray | None,
                       rank: int, stream: str = "probes") -> EditBasis:
@@ -417,14 +462,30 @@ class UncondEditPipeline:
         """
         cfg = self.cfg
         assert (x0s is None) != (xTs is None), "exactly one of x0s / xTs"
+        n = (x0s if xTs is None else xTs).shape[0]
+
+        def shard_samples(x):
+            # --mesh_data: the sample axis of the batched inversion/forward
+            # programs is DP-sharded too (both are deterministic, so padding
+            # to the mesh is free); the strips inherit it via generate_chunked
+            ds = self._data_sharding()
+            x = jnp.asarray(x)
+            if ds is None:
+                return x
+            pad = (-x.shape[0]) % int(ds.mesh.devices.size)
+            if pad:
+                x = jnp.concatenate(
+                    [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+            return jax.device_put(x, ds)
+
         if xTs is None:
-            xTs = self.invert(jnp.asarray(x0s))          # ONE batched program
-        xTs = jnp.asarray(xTs)
-        n = xTs.shape[0]
+            xTs = self.invert(shard_samples(x0s))        # ONE batched program
+        else:
+            xTs = shard_samples(xTs)
         assert masks is not None and masks.shape[0] == n
         names = sample_names or [f"batch{i:03d}" for i in range(n)]
 
-        xts = jnp.asarray(self.generate(xTs, 0, self.edit_t_idx))  # ONE program
+        xts = jnp.asarray(self.generate(xTs, 0, self.edit_t_idx))[:n]  # ONE program
 
         results = []
         for i in range(n):
