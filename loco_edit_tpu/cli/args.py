@@ -136,7 +136,10 @@ def parse_args(argv=None):
     add("--verify_load", type=str, default="",
         help="verify a real checkpoint end to end (convert + strict key "
              "coverage + forward + torch oracle where available) and exit; "
-             "one of: adm, ddpm, sd_unet, sd_vae, ifm, lpips, sam. The "
+             "one of: adm, ddpm, sd_unet, sd_vae, ifm, lpips, sam — or "
+             "'all' to sweep every checkpoint under --checkpoint_path "
+             "(classified by key fingerprint, ADM/DDPM presets fitted to "
+             "each file's geometry) into one JSON report. The "
              "first command to run on a machine with real weights "
              "(docs/MIGRATION.md)")
     add("--sampling_mode", type=str2bool, default=False)

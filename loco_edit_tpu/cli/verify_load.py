@@ -12,6 +12,10 @@ torch source model on the SAME input and report the max-abs difference.
         --model_name FFHQ_P2 --checkpoint_path /path/ffhq_p2.pt
     python -m loco_edit_tpu.cli.verify_load --family sd_unet \
         --checkpoint_path /path/unet.bin
+    # day-1 sweep: classify + verify EVERY checkpoint under a weights root,
+    # fitting ADM/DDPM presets to each file's geometry, one JSON report
+    python -m loco_edit_tpu.cli.main --verify_load all \
+        --checkpoint_path /path/to/weights_root
 
 Oracle availability by family in this environment:
   adm / ddpm   -> reference torch models imported read-only from
@@ -325,6 +329,157 @@ def _diffusers_note(cls: str) -> str:
                 "partial/misrouted load would trip.")
 
 
+def classify_state_dict(sd: dict) -> str | None:
+    """Map a loaded torch state_dict to a verifier family by key fingerprint
+    (the reference's loader surface has one loader per family,
+    src/utils/utils.py:77-293; here the keys identify the family so a weights
+    directory can be swept without per-file flags)."""
+    keys = set(sd)
+
+    def any_start(*prefixes):
+        return any(k.startswith(prefixes) for k in keys)
+
+    if any_start("vision_encoder."):
+        return "sam"
+    if any(".model." in k and k.startswith(("lin", "lins.")) for k in keys):
+        return "lpips"
+    if any_start("input_blocks.", "time_embed."):
+        return "adm"                      # guided_diffusion naming
+    if any_start("temb.dense.0.", "down.0.block."):
+        return "ddpm"                     # SDEdit naming
+    if any_start("decoder.conv_in.", "post_quant_conv.") or "quant_conv.weight" in keys:
+        return "sd_vae"
+    if any_start("down_blocks.", "time_embedding."):
+        # three diffusers UNets share this prefix: IF carries the T5 context
+        # projection; SD carries cross-attention without it; plain UNet2D
+        # (diffusers-format DDPM) has neither
+        if any("encoder_hid_proj" in k for k in keys):
+            return "ifm"
+        if any(".attn2." in k for k in keys):
+            return "sd_unet"
+        return "ddpm"
+    return None
+
+
+def _iter_candidates(root: str):
+    """Yield (path, kind) under root: checkpoint files and SAM
+    save_pretrained directories."""
+    import os
+
+    exts = (".pt", ".pth", ".ckpt", ".bin", ".safetensors")
+    for dirpath, dirnames, filenames in os.walk(root):
+        if "config.json" in filenames:
+            try:
+                with open(os.path.join(dirpath, "config.json")) as f:
+                    if '"sam"' in f.read():
+                        yield dirpath, "sam_dir"
+                        dirnames[:] = []   # don't descend into the save dir
+                        continue
+            except OSError:
+                pass
+        for fn in sorted(filenames):
+            if fn.endswith(exts):
+                yield os.path.join(dirpath, fn), "file"
+
+
+def _infer_adm_cfg(sd: dict):
+    """Pick the ADM preset whose geometry the checkpoint fits, by attempting
+    the strict-coverage conversion against each DISTINCT preset config (a
+    wrong geometry raises on the first mismatched key/shape; class-cond is
+    pre-filtered by the label_emb key). Returns (cfg, preset_name) or raises
+    with the per-preset failures."""
+    from loco_edit_tpu.models.adm.convert import convert_adm_state_dict
+    from loco_edit_tpu.models.adm.presets import PRESETS, adm_preset
+
+    has_label = any(k.startswith("label_emb.") for k in sd)
+    failures, seen = [], set()
+    for name in PRESETS:
+        cfg = adm_preset(name)
+        key = (cfg.image_size, cfg.model_channels, cfg.num_res_blocks,
+               cfg.attention_ds, cfg.num_classes is not None, cfg.num_heads,
+               cfg.num_head_channels, cfg.resblock_updown)
+        if key in seen or (cfg.num_classes is not None) != has_label:
+            continue
+        seen.add(key)
+        try:
+            convert_adm_state_dict(sd, cfg)
+            return cfg, name
+        except Exception as e:  # noqa: BLE001 — try the next geometry
+            failures.append(f"{name}: {type(e).__name__}")
+    raise ValueError(f"no ADM preset fits this checkpoint ({failures})")
+
+
+def _infer_ddpm_cfg(sd: dict):
+    """Same preset-fitting for the SDEdit/diffusers DDPM family."""
+    from loco_edit_tpu.models.ddpm import (convert_ddpm_state_dict,
+                                           convert_diffusers_unet2d_state_dict)
+    from loco_edit_tpu.models.ddpm.loader import DDPM_PRESETS, ddpm_preset
+
+    diffusers_named = any(k.startswith(("down_blocks.", "time_embedding."))
+                          for k in sd)
+    conv = (convert_diffusers_unet2d_state_dict if diffusers_named
+            else convert_ddpm_state_dict)
+    failures, seen = [], set()
+    for name in sorted(DDPM_PRESETS):
+        cfg = ddpm_preset(name)
+        key = (cfg.resolution, cfg.ch, tuple(cfg.ch_mult), cfg.num_res_blocks)
+        if key in seen:
+            continue
+        seen.add(key)
+        try:
+            conv(sd, cfg)
+            return cfg, name
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"{name}: {type(e).__name__}")
+    raise ValueError(f"no DDPM preset fits this checkpoint ({failures})")
+
+
+def verify_all(args) -> dict:
+    """`--verify_load all --checkpoint_path <weights_root>`: sweep every
+    checkpoint found under the root, classify each by key fingerprint,
+    run its family verifier, and emit ONE JSON report. Individual failures
+    are recorded (ok:false + error) without aborting the sweep — this is
+    the day-1 command on a machine with real pretrained weights
+    (MIGRATION.md 'first hour on real hardware')."""
+    root = args.checkpoint_path
+    reports = []
+    for path, kind in _iter_candidates(root):
+        item = {"checkpoint": path}
+        try:
+            cfg = None
+            if kind == "sam_dir":
+                fam = "sam"
+            else:
+                sd = _load_sd(path)
+                fam = classify_state_dict(sd)
+                if fam is None:
+                    item.update(family=None, skipped=True,
+                                note="unrecognized key fingerprint")
+                    reports.append(item)
+                    continue
+                # the sweep carries no per-file --model_name: fit the preset
+                # to the checkpoint's geometry instead
+                if fam == "adm" and not getattr(args, "model_name", ""):
+                    cfg, item["inferred_preset"] = _infer_adm_cfg(sd)
+                elif fam == "ddpm" and not getattr(args, "model_name", ""):
+                    cfg, item["inferred_preset"] = _infer_ddpm_cfg(sd)
+            sub = argparse.Namespace(**vars(args))
+            sub.checkpoint_path = path
+            if not getattr(sub, "model_name", ""):
+                sub.model_name = ""
+            item.update(_HANDLERS[fam](sub, cfg))
+            item["ok"] = True
+        except Exception as e:  # noqa: BLE001 — sweep must finish
+            item.update(ok=False, error=f"{type(e).__name__}: {e}")
+        reports.append(item)
+    checked = [r for r in reports if not r.get("skipped")]
+    out = {"root": root, "found": len(reports), "checked": len(checked),
+           "ok": bool(checked) and all(r.get("ok") for r in checked),
+           "reports": reports}
+    print(json.dumps(out, default=str))
+    return out
+
+
 _HANDLERS = {
     "adm": lambda a, cfg: _verify_adm(a.checkpoint_path, a.model_name, cfg,
                                       not a.no_oracle),
@@ -346,10 +501,13 @@ def verify_checkpoint(args, cfg=None) -> dict:
     """Run one family's verification; returns the report dict (raises on any
     conversion/coverage/finiteness failure)."""
     fam = args.verify_load
-    if fam not in _HANDLERS:
-        raise SystemExit(f"--verify_load must be one of {FAMILIES}, got {fam!r}")
     if not getattr(args, "no_oracle", None):
         args.no_oracle = False
+    if fam == "all":
+        return verify_all(args)
+    if fam not in _HANDLERS:
+        raise SystemExit(
+            f"--verify_load must be 'all' or one of {FAMILIES}, got {fam!r}")
     rep = _HANDLERS[fam](args, cfg)
     rep["checkpoint"] = args.checkpoint_path
     rep["ok"] = True
@@ -359,7 +517,7 @@ def verify_checkpoint(args, cfg=None) -> dict:
 
 def main(argv=None):
     p = argparse.ArgumentParser("loco-edit-tpu verify_load")
-    p.add_argument("--family", required=True, choices=FAMILIES)
+    p.add_argument("--family", required=True, choices=FAMILIES + ("all",))
     p.add_argument("--checkpoint_path", required=True)
     p.add_argument("--model_name", default="")
     p.add_argument("--no_oracle", action="store_true")

@@ -112,3 +112,68 @@ def test_cli_flag_reaches_verifier(monkeypatch, tmp_path):
         lambda args, cfg=None: seen.update(fam=args.verify_load) or {"ok": True})
     climain.main(["--verify_load", "adm", "--checkpoint_path", "x.pt"])
     assert seen["fam"] == "adm"
+
+
+def test_classify_state_dict_fingerprints():
+    from loco_edit_tpu.cli.verify_load import classify_state_dict as c
+
+    assert c({"vision_encoder.patch_embed.projection.weight": 0}) == "sam"
+    assert c({"lins.0.model.1.weight": 0}) == "lpips"
+    assert c({"lin0.model.1.weight": 0}) == "lpips"
+    assert c({"input_blocks.0.0.weight": 0, "time_embed.0.weight": 0}) == "adm"
+    assert c({"temb.dense.0.weight": 0, "conv_in.weight": 0}) == "ddpm"
+    assert c({"decoder.conv_in.weight": 0, "quant_conv.weight": 0}) == "sd_vae"
+    assert c({"down_blocks.0.resnets.0.conv1.weight": 0,
+              "encoder_hid_proj.weight": 0}) == "ifm"
+    assert c({"down_blocks.0.attentions.0.transformer_blocks.0.attn2.to_k.weight": 0,
+              "time_embedding.linear_1.weight": 0}) == "sd_unet"
+    assert c({"down_blocks.0.resnets.0.conv1.weight": 0,
+              "time_embedding.linear_1.weight": 0}) == "ddpm"
+    assert c({"completely.unknown.key": 0}) is None
+
+
+def test_verify_all_sweep(tmp_path, capsys):
+    """--verify_load all over a mixed weights root: a loadable SAM
+    save_pretrained dir verifies with its torch oracle; an unfittable
+    checkpoint records ok:false without aborting; an unrecognized file is
+    skipped; the report aggregates all three."""
+    from transformers import SamConfig, SamModel, SamVisionConfig
+
+    from loco_edit_tpu.cli.verify_load import verify_checkpoint
+
+    root = tmp_path / "weights"
+    root.mkdir()
+    # 1. tiny SAM save_pretrained directory (full success path + oracle)
+    vc = SamVisionConfig(hidden_size=32, num_hidden_layers=2,
+                         num_attention_heads=2, image_size=32, patch_size=8,
+                         window_size=2, global_attn_indexes=[1],
+                         mlp_ratio=2.0, output_channels=16, num_pos_feats=8,
+                         attn_implementation="eager")
+    cfg = SamConfig(
+        vision_config=vc.to_dict(),
+        prompt_encoder_config=dict(hidden_size=16, image_embedding_size=4,
+                                   image_size=32, patch_size=8),
+        mask_decoder_config=dict(hidden_size=16, num_attention_heads=2,
+                                 num_hidden_layers=1, mlp_dim=32,
+                                 iou_head_hidden_dim=16))
+    torch.manual_seed(0)
+    SamModel(cfg).eval().save_pretrained(str(root / "sam_tiny"))
+    # 2. ADM-named checkpoint whose tiny geometry fits NO production preset
+    torch.save({k: torch.zeros(1) for k in
+                ("input_blocks.0.0.weight", "time_embed.0.weight")},
+               str(root / "adm_broken.pt"))
+    # 3. unrecognized fingerprint
+    torch.save({"mystery.weight": torch.zeros(1)}, str(root / "junk.pt"))
+
+    args = _NS(verify_load="all", checkpoint_path=str(root), model_name="")
+    rep = verify_checkpoint(args)
+    capsys.readouterr()
+    assert rep["found"] == 3 and rep["checked"] == 2
+    assert rep["ok"] is False          # the broken ADM item fails
+    by = {r["checkpoint"]: r for r in rep["reports"]}
+    sam_item = by[str(root / "sam_tiny")]
+    assert sam_item["ok"] and "max_abs_diff" in sam_item["oracle"]
+    assert float(sam_item["oracle"].split("max_abs_diff=")[1]) < 5e-4
+    adm_item = by[str(root / "adm_broken.pt")]
+    assert adm_item["ok"] is False and "no ADM preset fits" in adm_item["error"]
+    assert by[str(root / "junk.pt")]["skipped"]
