@@ -100,7 +100,30 @@ class UncondEditPipeline:
             cfg.for_steps, cfg.performance_boosting_t)
         self._jit_cache: dict = {}
         self._boost_calls = 0   # per-call noise-stream counter (see generate)
+        # Disk artifacts (.npz direction caches, PNG strips) are written on a
+        # single IO thread so they OVERLAP device compute instead of
+        # serializing after it (the round-3 breakdown attributed ~1 s/edit to
+        # host writes+pulls, BENCH.md): submitted as soon as their arrays
+        # exist, drained before any cache-existence check and before every
+        # public run_* method returns — callers still see all files on
+        # return, just not on the device-critical path.
+        self._io_pool = None
+        self._io_pending: list = []
         os.makedirs(cfg.result_folder, exist_ok=True)
+
+    def _submit_io(self, fn, *args, **kw):
+        from concurrent.futures import ThreadPoolExecutor
+
+        if self._io_pool is None:
+            self._io_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="loco-io")
+        self._io_pending.append(self._io_pool.submit(fn, *args, **kw))
+
+    def flush_io(self):
+        """Wait for every queued artifact write (re-raising any error)."""
+        pending, self._io_pending = self._io_pending, []
+        for f in pending:
+            f.result()
 
     # -- jitted primitives (cached per signature) -----------------------------
 
@@ -290,6 +313,7 @@ class UncondEditPipeline:
         run_edit_null_space_projection and run_edit_batch so the batch API
         cannot drift from what N single runs write."""
         cfg = self.cfg
+        self.flush_io()   # cache-existence checks below must see all writes
         basis_dir = os.path.join(out_dir, "basis",
                                  f"local_basis-{cfg.edit_t}T")
         # the mask is part of the cache key (the reference's basis dir embeds
@@ -325,9 +349,9 @@ class UncondEditPipeline:
             vT_null_pre = nbasis.vT
             print(f"power method runtime == {time.time() - t0:.2f}s "
                   f"({int(basis.iters)} iters, fused modify+null)")
-            save_directions(mod_path, np.asarray(vT_modify),
+            self._submit_io(save_directions, mod_path, vT_modify,
                             edit_t=cfg.edit_t, rank=cfg.pca_rank)
-            save_directions(null_path, np.asarray(vT_null_pre),
+            self._submit_io(save_directions, null_path, vT_null_pre,
                             edit_t=cfg.edit_t, rank=cfg.pca_rank_null)
         else:
             t0 = time.time()
@@ -335,7 +359,7 @@ class UncondEditPipeline:
             vT_modify = jax.block_until_ready(basis.vT)
             print(f"power method runtime == {time.time() - t0:.2f}s "
                   f"({int(basis.iters)} iters)")
-            save_directions(mod_path, np.asarray(vT_modify),
+            self._submit_io(save_directions, mod_path, vT_modify,
                             edit_t=cfg.edit_t, rank=cfg.pca_rank)
 
         if random_edit:
@@ -356,7 +380,7 @@ class UncondEditPipeline:
                     stream="probes-null")
                 vT_null = jax.block_until_ready(nbasis.vT)
                 print(f"null-space power method runtime == {time.time() - t0:.2f}s")
-                save_directions(null_path, np.asarray(vT_null),
+                self._submit_io(save_directions, null_path, vT_null,
                                 edit_t=cfg.edit_t, rank=cfg.pca_rank_null)
             vT = null_space_project(vT_modify, vT_null, cfg.pca_rank_null)
         else:
@@ -365,9 +389,10 @@ class UncondEditPipeline:
         basis_name = (f"edit_{cfg.edit_t}T_null_proj_{cfg.null_space_projection}"
                       f"_rank{cfg.pca_rank_null}_scale_{cfg.x_space_guidance_scale}")
         for pc in range(vT.shape[0]):
-            save_directions(
+            self._submit_io(
+                save_directions,
                 os.path.join(basis_dir, f"pc_{pc:03d}-vT.npz"),
-                np.asarray(vT[pc:pc + 1]), edit_t=cfg.edit_t, pc=pc)
+                vT[pc:pc + 1], edit_t=cfg.edit_t, pc=pc)
         return vT, basis_name
 
     def _render_strips(self, xt, vT, out_dir, basis_name):
@@ -398,8 +423,8 @@ class UncondEditPipeline:
                 strips[pc] = edited_all[offset:offset + sp.shape[0]]
                 offset += sp.shape[0]
                 if cfg.save_images:
-                    save_image_grid(
-                        strips[pc],
+                    self._submit_io(
+                        save_image_grid, strips[pc],
                         os.path.join(out_dir, f"edit-{basis_name}-pc{pc:03d}.png"))
         return strips
 
@@ -434,6 +459,7 @@ class UncondEditPipeline:
                                                  random_edit=random_edit)
 
         strips = self._render_strips(xt, vT, out_dir, basis_name)
+        self.flush_io()   # every artifact is on disk when the call returns
         return {"xt": np.asarray(xt), "vT": np.asarray(vT), "strips": strips,
                 "edit_t_idx": t_idx, "out_dir": out_dir}
 
@@ -499,6 +525,7 @@ class UncondEditPipeline:
                             "vT": np.asarray(vT), "strips": strips,
                             "edit_t_idx": self.edit_t_idx,
                             "out_dir": out_dir})
+        self.flush_io()
         return results
 
     def group_edit(self, xT: np.ndarray, vT_paths: list[str],

@@ -8,7 +8,8 @@ behind a minimal HTTP API, so interactive editing front-ends get steady-state
 latency. Requests serialize through a lock (one chip, one compute stream);
 scale-out is one process per chip behind any HTTP balancer.
 
-  POST /edit    {"seed": int | "image": <b64 f32 NHWC bytes>, "pixel": bool?,
+  POST /edit    {"seed": int | "image": <b64 f32 NHWC bytes>,
+                 "pixel": bool? (default true: uint8 PNG payload),
                  "mask_bbox": [y0, y1, x0, x1] | null,
                  "pca_rank": int?, "sample_name": str?}
              -> {"strips": {pc: <b64 bytes>}, "shape": [...], "dtype": "float32"
@@ -135,9 +136,12 @@ class EditService:
 
     @staticmethod
     def _pixel_flag(req: dict) -> bool:
-        # "pixel": true -> strips return as uint8 pixels converted ON
-        # DEVICE (4x smaller device pull AND response payload)
-        px = req.get("pixel", False)
+        # "pixel": strips return as uint8 pixels converted ON DEVICE (4x
+        # smaller device pull AND response payload). Default TRUE on the
+        # serve path — the strips are the PNG payload for an HTTP client;
+        # "pixel": false opts back into raw float strips (the library API's
+        # default, which golden tests compare)
+        px = req.get("pixel", True)
         if not isinstance(px, bool):   # reject "false"/1/...: a string
             raise ValueError('"pixel" must be a JSON boolean')
         return px

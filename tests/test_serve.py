@@ -51,9 +51,12 @@ def test_health_and_edit_roundtrip(server):
     assert status == 200
     import base64
 
+    # serve default is the on-device uint8 PNG payload (pixel=True);
+    # "pixel": false opts into the library API's raw float strips
+    assert out["dtype"] == "uint8"
     strip = np.frombuffer(base64.b64decode(out["strips"]["0"]),
-                          np.float32).reshape(out["shape"])
-    assert strip.shape[1:] == (32, 32, 3) and np.all(np.isfinite(strip))
+                          np.uint8).reshape(out["shape"])
+    assert strip.shape[1:] == (32, 32, 3)
     assert out["secs"] > 0
 
     # masked edit with null-space projection through the bbox
@@ -71,8 +74,8 @@ def test_distinct_requests_do_not_share_basis_cache(server):
     import base64
 
     base, _ = server
-    _, o1 = _post(base + "/edit", {"seed": 21})
-    _, o2 = _post(base + "/edit", {"seed": 22})
+    _, o1 = _post(base + "/edit", {"seed": 21, "pixel": False})
+    _, o2 = _post(base + "/edit", {"seed": 22, "pixel": False})
     s1 = np.frombuffer(base64.b64decode(o1["strips"]["0"]), np.float32)
     s2 = np.frombuffer(base64.b64decode(o2["strips"]["0"]), np.float32)
     assert not np.allclose(s1, s2)
@@ -163,10 +166,12 @@ def test_edit_batch_matches_single(server):
     # fresh boost-tail noise stream for both runs (cross-call comparisons
     # need the per-call counter pinned — see test_edit_pixel_option)
     service.pipe._boost_calls = 0
-    _, single = _post(base + "/edit", {"seed": 61, "sample_name": "b-ref61"})
+    _, single = _post(base + "/edit", {"seed": 61, "sample_name": "b-ref61",
+                                       "pixel": False})
     service.pipe._boost_calls = 0
     status, out = _post(base + "/edit_batch", {"items": [
-        {"seed": 61}, {"seed": 62, "mask_bbox": [8, 20, 8, 20]}]})
+        {"seed": 61}, {"seed": 62, "mask_bbox": [8, 20, 8, 20]}],
+        "pixel": False})
     assert status == 200 and len(out["results"]) == 2 and out["secs"] > 0
     r0, r1 = out["results"]
     b0 = np.frombuffer(base64.b64decode(r0["strips"]["0"]), np.float32)
@@ -199,7 +204,7 @@ def test_edit_pixel_option_returns_uint8(server):
     # identical boost-tail noise for both requests (the eta=1 tail draws a
     # fresh stream per call; the basis itself is disk-cached by sample_name)
     _service.pipe._boost_calls = 0
-    _, out_f = _post(base + "/edit", dict(req))
+    _, out_f = _post(base + "/edit", dict(req, pixel=False))
     _service.pipe._boost_calls = 0
     _, out_u = _post(base + "/edit", dict(req, pixel=True))
     assert out_f["dtype"] == "float32" and out_u["dtype"] == "uint8"
