@@ -17,7 +17,6 @@ from __future__ import annotations
 import dataclasses
 import os
 import time
-from typing import Callable
 
 import jax
 import jax.numpy as jnp
@@ -40,6 +39,7 @@ from loco_edit_tpu.editing.pullback import (eps_pullback_fn,
                                             padded_probe_count,
                                             pmp_pullback_fn)
 from loco_edit_tpu.models.base import Denoiser
+from loco_edit_tpu.pipelines.common import EngineExec
 from loco_edit_tpu.utils.io import save_image_grid, to_uint8_pixels_device
 
 
@@ -86,7 +86,11 @@ class UncondEditConfig:
     save_images: bool = True
 
 
-class UncondEditPipeline:
+class UncondEditPipeline(EngineExec):
+    """Artifact IO overlap, jit caching, mesh sharding, and tile-aligned
+    batch execution come from EngineExec (pipelines/common.py) — the shared
+    home of the round-2..4 execution lessons (BENCH.md)."""
+
     def __init__(self, denoiser: Denoiser, cfg: UncondEditConfig,
                  rng: RngStream, scheduler: LinspaceDDIM | None = None):
         self.denoiser = denoiser
@@ -98,39 +102,8 @@ class UncondEditPipeline:
         self.edit_t_idx = self.scheduler.nearest_step_index(cfg.for_steps, cfg.edit_t)
         self.boost_eta = self.scheduler.boost_eta_flags(
             cfg.for_steps, cfg.performance_boosting_t)
-        self._jit_cache: dict = {}
         self._boost_calls = 0   # per-call noise-stream counter (see generate)
-        # Disk artifacts (.npz direction caches, PNG strips) are written on a
-        # single IO thread so they OVERLAP device compute instead of
-        # serializing after it (the round-3 breakdown attributed ~1 s/edit to
-        # host writes+pulls, BENCH.md): submitted as soon as their arrays
-        # exist, drained before any cache-existence check and before every
-        # public run_* method returns — callers still see all files on
-        # return, just not on the device-critical path.
-        self._io_pool = None
-        self._io_pending: list = []
         os.makedirs(cfg.result_folder, exist_ok=True)
-
-    def _submit_io(self, fn, *args, **kw):
-        from concurrent.futures import ThreadPoolExecutor
-
-        if self._io_pool is None:
-            self._io_pool = ThreadPoolExecutor(
-                max_workers=1, thread_name_prefix="loco-io")
-        self._io_pending.append(self._io_pool.submit(fn, *args, **kw))
-
-    def flush_io(self):
-        """Wait for every queued artifact write (re-raising any error)."""
-        pending, self._io_pending = self._io_pending, []
-        for f in pending:
-            f.result()
-
-    # -- jitted primitives (cached per signature) -----------------------------
-
-    def _jit(self, name: str, build: Callable):
-        if name not in self._jit_cache:
-            self._jit_cache[name] = build()
-        return self._jit_cache[name]
 
     def invert(self, x0: jnp.ndarray) -> jnp.ndarray:
         r = int(getattr(self.cfg, "inv_refine_steps", 0))
@@ -186,34 +159,8 @@ class UncondEditPipeline:
         deterministic under SPMD partitioning, so a sharded run produces the
         SAME pixels as the unsharded program of the same shape (asserted in
         __graft_entry__.dryrun_multichip)."""
-        from loco_edit_tpu.utils.chunk import map_chunked
-
-        xt = jnp.asarray(xt)
-        ds = self._data_sharding()
-        if ds is not None:
-            n = int(ds.mesh.devices.size)
-            b = xt.shape[0]
-            # per-device sublane alignment on TPU (ragged small batches waste
-            # tiles AND relayout — BENCH.md batch sweep); plain mesh multiple
-            # elsewhere so the dryrun exercises the exact shipped padding
-            unit = n * 8 if jax.default_backend() == "tpu" and b > n else n
-            pad = (-b) % unit
-            if pad:
-                xt = jnp.concatenate(
-                    [xt, jnp.zeros((pad,) + xt.shape[1:], xt.dtype)], axis=0)
-            out = self.generate(jax.device_put(xt, ds), start_idx, end_idx,
-                                boost)
-            return out[:b] if pad else out
-        bound = self.cfg.memory_bound
-        if not bound and xt.shape[0] > 16:
-            try:
-                if jax.default_backend() == "tpu":
-                    bound = 16
-            except RuntimeError:
-                pass
-        return map_chunked(
-            lambda c: self.generate(c, start_idx, end_idx, boost),
-            xt, bound)
+        return self.run_batched(
+            lambda c: self.generate(c, start_idx, end_idx, boost), xt)
 
     def pullback_fn(self, mask: np.ndarray | None):
         t = float(self.gen_grid.t[self.edit_t_idx])
@@ -221,32 +168,6 @@ class UncondEditPipeline:
         if self.cfg.encoder_decoder_by_et:
             return eps_pullback_fn(self.denoiser.eps_fn, t)
         return pmp_pullback_fn(self.denoiser.eps_fn, ab, t)
-
-    def _probe_sharding(self):
-        """NamedSharding over the probe axis when --mesh_probe > 1 (the
-        embarrassingly-parallel axis; solo AND fused extraction shard it)."""
-        if self.cfg.mesh_probe <= 1:
-            return None
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        from loco_edit_tpu.core.mesh import PROBE_AXIS, make_mesh
-
-        mesh = make_mesh({PROBE_AXIS: self.cfg.mesh_probe},
-                         devices=jax.devices()[:self.cfg.mesh_probe])
-        return NamedSharding(mesh, P(PROBE_AXIS))
-
-    def _data_sharding(self):
-        """NamedSharding over the frame/sample batch axis when
-        --mesh_data > 1 (the walk-strip / batch-edit axis, SURVEY §5.7)."""
-        if self.cfg.mesh_data <= 1:
-            return None
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        from loco_edit_tpu.core.mesh import DATA_AXIS, make_mesh
-
-        mesh = make_mesh({DATA_AXIS: self.cfg.mesh_data},
-                         devices=jax.devices()[:self.cfg.mesh_data])
-        return NamedSharding(mesh, P(DATA_AXIS))
 
     def extract_basis(self, xt: jnp.ndarray, mask: np.ndarray | None,
                       rank: int, stream: str = "probes") -> EditBasis:
@@ -490,24 +411,13 @@ class UncondEditPipeline:
         assert (x0s is None) != (xTs is None), "exactly one of x0s / xTs"
         n = (x0s if xTs is None else xTs).shape[0]
 
-        def shard_samples(x):
-            # --mesh_data: the sample axis of the batched inversion/forward
-            # programs is DP-sharded too (both are deterministic, so padding
-            # to the mesh is free); the strips inherit it via generate_chunked
-            ds = self._data_sharding()
-            x = jnp.asarray(x)
-            if ds is None:
-                return x
-            pad = (-x.shape[0]) % int(ds.mesh.devices.size)
-            if pad:
-                x = jnp.concatenate(
-                    [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
-            return jax.device_put(x, ds)
-
+        # --mesh_data: the sample axis of the batched inversion/forward
+        # programs is DP-sharded too (both are deterministic, so padding
+        # to the mesh is free); the strips inherit it via generate_chunked
         if xTs is None:
-            xTs = self.invert(shard_samples(x0s))        # ONE batched program
+            xTs = self.invert(self.shard_samples(x0s))   # ONE batched program
         else:
-            xTs = shard_samples(xTs)
+            xTs = self.shard_samples(xTs)
         assert masks is not None and masks.shape[0] == n
         names = sample_names or [f"batch{i:03d}" for i in range(n)]
 
