@@ -202,34 +202,101 @@ def _t2i_mask(args, pipe_make_image):
         return z["masks"][args.mask_index][None].astype(bool)
 
 
+def build_lcm_pipeline(args):
+    from loco_edit_tpu.core.rng import seed_everything
+    from loco_edit_tpu.models.t2i_registry import load_sd_bundle
+    from loco_edit_tpu.pipelines.lcm import LCMEditConfig, LCMEditPipeline
+
+    rng = seed_everything(args.seed)
+    b = load_sd_bundle(args, lcm=True)
+    cfg = LCMEditConfig(
+        num_inference_steps=args.num_inference_steps,
+        edit_t_idx=args.edit_t_idx, guidance_scale=args.guidance_scale,
+        x_space_guidance_scale=args.x_space_guidance_scale,
+        x_space_guidance_num_step=args.x_space_guidance_num_step,
+        vis_num=args.vis_num, pca_rank=args.pca_rank,
+        pca_rank_null=args.pca_rank_null,
+        null_space_projection=args.null_space_projection,
+        non_semantic=args.non_semantic, use_sega=args.use_sega,
+        memory_bound=args.memory_bound,
+        probe_chunk=args.probe_chunk or None,
+        compute_dtype=args.dtype,
+        mesh_probe=args.mesh_probe, mesh_data=args.mesh_data,
+        pixel_output=args.pixel_output,
+        result_folder=args.result_folder)
+    pipe = LCMEditPipeline(b["unet_apply"], b["decode"],
+                           b["prompt_encoder"], cfg, rng,
+                           latent_shape=b["latent_shape"])
+    return pipe, b, rng
+
+
+def build_sd_pipeline(args):
+    from loco_edit_tpu.core.rng import seed_everything
+    from loco_edit_tpu.models.t2i_registry import load_sd_bundle
+    from loco_edit_tpu.pipelines.sd import SDEditConfig, SDEditPipeline
+
+    rng = seed_everything(args.seed)
+    b = load_sd_bundle(args)
+    cfg = SDEditConfig(
+        for_steps=args.for_steps, inv_steps=args.inv_steps,
+        inv_refine_steps=args.inv_refine_steps,
+        edit_t=args.edit_t, guidance_scale=args.guidance_scale,
+        guidance_scale_edit=args.guidance_scale_edit,
+        x_space_guidance_scale=args.x_space_guidance_scale,
+        x_space_guidance_edit_step=args.x_space_guidance_edit_step,
+        x_space_guidance_num_step=args.x_space_guidance_num_step,
+        vis_num=args.vis_num, vis_num_pc=args.pca_rank,
+        pca_rank=args.pca_rank, pca_rank_null=args.pca_rank_null,
+        null_space_projection=args.null_space_projection,
+        use_sega=args.use_sega,
+        tilda_v_score_type=args.tilda_v_score_type
+        or "null+(for-null)+(edit-null)",
+        memory_bound=args.memory_bound,
+        probe_chunk=args.probe_chunk or None,
+        compute_dtype=args.dtype,
+        mesh_probe=args.mesh_probe, mesh_data=args.mesh_data,
+        pixel_output=args.pixel_output,
+        result_folder=args.result_folder)
+    pipe = SDEditPipeline(b["unet_apply"], b["decode"], b["encode"],
+                          b["prompt_encoder"], cfg, rng,
+                          latent_shape=b["latent_shape"])
+    return pipe, b, rng
+
+
+def build_if_pipeline(args):
+    from loco_edit_tpu.core.rng import seed_everything
+    from loco_edit_tpu.models.t2i_registry import load_if_bundle
+    from loco_edit_tpu.pipelines.deepfloyd import IFEditConfig, IFEditPipeline
+
+    rng = seed_everything(args.seed)
+    b = load_if_bundle(args)
+    cfg = IFEditConfig(
+        for_steps=args.for_steps, edit_t=args.edit_t,
+        guidance_scale=args.guidance_scale,
+        guidance_scale_edit=args.guidance_scale_edit,
+        x_space_guidance_scale=args.x_space_guidance_scale,
+        x_space_guidance_edit_step=args.x_space_guidance_edit_step,
+        x_space_guidance_num_step=args.x_space_guidance_num_step,
+        vis_num=args.vis_num, pca_rank=args.pca_rank,
+        pca_rank_null=args.pca_rank_null,
+        null_space_projection=args.null_space_projection,
+        tilda_v_score_type=args.tilda_v_score_type or "(for-edit)-direct",
+        jacobian=args.jacobian, probe_chunk=args.probe_chunk or None,
+        memory_bound=args.memory_bound,
+        mesh_probe=args.mesh_probe, mesh_data=args.mesh_data,
+        pixel_output=args.pixel_output,
+        result_folder=args.result_folder)
+    pipe = IFEditPipeline(b["unet_apply"], b["prompt_encoder"], cfg, rng,
+                          sample_shape=b["sample_shape"],
+                          superres=b.get("superres"))
+    return pipe, b, rng
+
+
 def _main_t2i(args):
     import jax
 
-    from loco_edit_tpu.core.rng import seed_everything
-
-    rng = seed_everything(args.seed)
-
     if args.is_LCM:
-        from loco_edit_tpu.models.t2i_registry import load_sd_bundle
-        from loco_edit_tpu.pipelines.lcm import LCMEditConfig, LCMEditPipeline
-
-        b = load_sd_bundle(args, lcm=True)
-        cfg = LCMEditConfig(
-            num_inference_steps=args.num_inference_steps,
-            edit_t_idx=args.edit_t_idx, guidance_scale=args.guidance_scale,
-            x_space_guidance_scale=args.x_space_guidance_scale,
-            x_space_guidance_num_step=args.x_space_guidance_num_step,
-            vis_num=args.vis_num, pca_rank=args.pca_rank,
-            pca_rank_null=args.pca_rank_null,
-            null_space_projection=args.null_space_projection,
-            non_semantic=args.non_semantic, use_sega=args.use_sega,
-            memory_bound=args.memory_bound,
-            probe_chunk=args.probe_chunk or None,
-            compute_dtype=args.dtype,
-            result_folder=args.result_folder)
-        pipe = LCMEditPipeline(b["unet_apply"], b["decode"],
-                               b["prompt_encoder"], cfg, rng,
-                               latent_shape=b["latent_shape"])
+        pipe, b, rng = build_lcm_pipeline(args)
         if args.run_ddim_forward:
             # reference run_LCMforward (edit.py:102-145): sample a batch for a
             # model-load sanity check
@@ -250,35 +317,12 @@ def _main_t2i(args):
                             rng.fork("zT").key, (1,) + b["latent_shape"])),
                         args.for_prompt)[1]))
             pipe.run_edit_null_space_projection_zt(
-                args.for_prompt, args.edit_prompt, mask=mask)
+                args.for_prompt, args.edit_prompt, mask=mask,
+                vT_path=args.vT_path or None)
         return
 
     if args.is_stable_diffusion:
-        from loco_edit_tpu.models.t2i_registry import load_sd_bundle
-        from loco_edit_tpu.pipelines.sd import SDEditConfig, SDEditPipeline
-
-        b = load_sd_bundle(args)
-        cfg = SDEditConfig(
-            for_steps=args.for_steps, inv_steps=args.inv_steps,
-            inv_refine_steps=args.inv_refine_steps,
-            edit_t=args.edit_t, guidance_scale=args.guidance_scale,
-            guidance_scale_edit=args.guidance_scale_edit,
-            x_space_guidance_scale=args.x_space_guidance_scale,
-            x_space_guidance_edit_step=args.x_space_guidance_edit_step,
-            x_space_guidance_num_step=args.x_space_guidance_num_step,
-            vis_num=args.vis_num, vis_num_pc=args.pca_rank,
-            pca_rank=args.pca_rank, pca_rank_null=args.pca_rank_null,
-            null_space_projection=args.null_space_projection,
-            use_sega=args.use_sega,
-            tilda_v_score_type=args.tilda_v_score_type
-            or "null+(for-null)+(edit-null)",
-            memory_bound=args.memory_bound,
-            probe_chunk=args.probe_chunk or None,
-            compute_dtype=args.dtype,
-            result_folder=args.result_folder)
-        pipe = SDEditPipeline(b["unet_apply"], b["decode"], b["encode"],
-                              b["prompt_encoder"], cfg, rng,
-                              latent_shape=b["latent_shape"])
+        pipe, b, rng = build_sd_pipeline(args)
         if args.run_ddim_forward:
             # reference EditStableDiffusion.run_DDIMforward (edit.py:556-566)
             zT = np.asarray(jax.random.normal(
@@ -301,30 +345,11 @@ def _main_t2i(args):
                         "null+(for-null)")))
             pipe.run_edit_null_space_projection_zt(
                 args.for_prompt, args.edit_prompt, mask=mask,
-                semantic=semantic)
+                semantic=semantic, vT_path=args.vT_path or None)
         return
 
     # DeepFloyd-IF
-    from loco_edit_tpu.models.t2i_registry import load_if_bundle
-    from loco_edit_tpu.pipelines.deepfloyd import IFEditConfig, IFEditPipeline
-
-    b = load_if_bundle(args)
-    cfg = IFEditConfig(
-        for_steps=args.for_steps, edit_t=args.edit_t,
-        guidance_scale=args.guidance_scale,
-        guidance_scale_edit=args.guidance_scale_edit,
-        x_space_guidance_scale=args.x_space_guidance_scale,
-        x_space_guidance_edit_step=args.x_space_guidance_edit_step,
-        x_space_guidance_num_step=args.x_space_guidance_num_step,
-        vis_num=args.vis_num, pca_rank=args.pca_rank,
-        pca_rank_null=args.pca_rank_null,
-        null_space_projection=args.null_space_projection,
-        tilda_v_score_type=args.tilda_v_score_type or "(for-edit)-direct",
-        jacobian=args.jacobian, probe_chunk=args.probe_chunk or None,
-        result_folder=args.result_folder)
-    pipe = IFEditPipeline(b["unet_apply"], b["prompt_encoder"], cfg, rng,
-                          sample_shape=b["sample_shape"],
-                          superres=b.get("superres"))
+    pipe, b, rng = build_if_pipeline(args)
     if args.run_ddim_forward:
         # reference EditDeepFloydIF DDPMforwardsteps debug sample (edit.py:1409)
         xT = np.asarray(jax.random.normal(
@@ -358,7 +383,7 @@ def _main_t2i(args):
         pipe.run_edit_null_space_projection_xt(
             args.for_prompt, args.edit_prompt, mask=mask,
             semantic=semantic or args.run_edit_null_space_projection_xt_semantic,
-            ablation=ablation)
+            ablation=ablation, vT_path=args.vT_path or None)
     return
 
 

@@ -28,6 +28,7 @@ from loco_edit_tpu.diffusion import LinspaceDDIM
 from loco_edit_tpu.diffusion.sampling import ddim_scan
 from loco_edit_tpu.diffusion.scheduler import ddim_step
 from loco_edit_tpu.editing import (
+    dual_subspace_iteration,
     load_directions,
     mask_cache_tag,
     normalize_rows,
@@ -37,8 +38,10 @@ from loco_edit_tpu.editing import (
     x_space_guidance_strip,
 )
 from loco_edit_tpu.editing.cfg import cfg_eps, perpendicular_component
+from loco_edit_tpu.editing.pullback import padded_probe_count
 from loco_edit_tpu.masks.diffedit import diffedit_mask
-from loco_edit_tpu.utils.io import save_image_grid
+from loco_edit_tpu.pipelines.common import EngineExec
+from loco_edit_tpu.utils.io import save_image_grid, to_uint8_pixels_device
 
 
 @dataclasses.dataclass
@@ -62,14 +65,19 @@ class IFEditConfig:
     convergence_threshold: float = 1e-3
     probe_chunk: int | None = None
     memory_bound: int = 0        # chunk strip denoise batches (0 = off)
+    mesh_probe: int = 0          # shard probes over this many devices (0 = off)
+    mesh_data: int = 0           # DP-shard the strip frame axis (0 = off)
+    pixel_output: bool = False   # on-device uint8 strips (see pipelines/sd.py)
     result_folder: str = "./runs"
     save_images: bool = True
 
 
-class IFEditPipeline:
+class IFEditPipeline(EngineExec):
     """unet_apply(x, t, context) -> (B,H,W,2C) with learned sigma channels,
     prompt_encoder str -> (1, seq, dim) T5 states, superres: optional callable
-    (images, prompt) -> upscaled images (the stage-2 hook)."""
+    (images, prompt) -> upscaled images (the stage-2 hook). Jit caching, IO
+    overlap, mesh sharding and tile-aligned batching come from EngineExec
+    (pipelines/common.py)."""
 
     def __init__(self, unet_apply, prompt_encoder, cfg: IFEditConfig,
                  rng: RngStream, sample_shape=(64, 64, 3), superres=None,
@@ -109,11 +117,6 @@ class IFEditPipeline:
         return lambda x, t: cfg_eps(
             self.unet_apply, x, t, prompts, mode, self.cfg.guidance_scale,
             self.cfg.guidance_scale_edit, enabled=enabled)
-
-    def _jit(self, key, build):
-        if key not in self._jit_cache:
-            self._jit_cache[key] = build()
-        return self._jit_cache[key]
 
     def forward_steps(self, xt, prompts: dict, mode: str, start_idx: int = 0,
                       end_idx: int | None = None) -> jnp.ndarray:
@@ -219,16 +222,43 @@ class IFEditPipeline:
         f = self.pmp_fn(prompts, mode)
         m = (jnp.ones((1, 1, 1, 1), jnp.float32) if mask is None
              else jnp.asarray(mask, jnp.float32))
+        probe_sharding = self._probe_sharding()
+        chunk = None if probe_sharding is not None else cfg.probe_chunk
 
         def run(x, mw, key):
             return subspace_iteration(
                 f, x, key, rank=rank, mask=mw, min_iter=cfg.min_iter,
                 max_iter=cfg.max_iter, tol=cfg.convergence_threshold,
-                probe_chunk=cfg.probe_chunk)
+                probe_chunk=chunk, probe_sharding=probe_sharding)
 
         fn = self._jit(("basis", xt.shape, rank, mode, mask is not None),
                        lambda: jax.jit(run))
         return fn(jnp.asarray(xt), m, self.rng.fork(f"if-probes-{rank}").key)
+
+    def extract_dual_basis(self, xt, prompts: dict, mode: str, mask,
+                           rank: int, rank_null: int):
+        """Fused modify+null extraction on the shared pixel-space PMP
+        Jacobian (the non-semantic path's two solo runs, edit.py:1589-1676
+        twice) — probe keys match the solos exactly."""
+        cfg = self.cfg
+        f = self.pmp_fn(prompts, mode)
+        probe_sharding = self._probe_sharding()
+        chunk = None if probe_sharding is not None else cfg.probe_chunk
+
+        def run(x, mw, ka, kb):
+            return dual_subspace_iteration(
+                f, x, ka, kb, rank_a=rank, rank_b=rank_null,
+                mask_a=mw, mask_b=(mw == 0).astype(jnp.float32),
+                min_iter=cfg.min_iter, max_iter=cfg.max_iter,
+                tol=cfg.convergence_threshold, probe_chunk=chunk,
+                probe_sharding=probe_sharding)
+
+        fn = self._jit(("dual-basis", xt.shape, rank, rank_null, mode),
+                       lambda: jax.jit(run))
+        m = jnp.asarray(np.asarray(mask, np.float32))
+        return fn(jnp.asarray(xt), m,
+                  self.rng.fork(f"if-probes-{rank}").key,
+                  self.rng.fork(f"if-probes-{rank_null}").key)
 
     def diffedit_mask(self, x0, prompts: dict) -> np.ndarray:
         f_for = self._eps_fn(prompts, "null+(for-null)")
@@ -243,12 +273,13 @@ class IFEditPipeline:
     def run_edit_null_space_projection_xt(
             self, for_prompt: str, edit_prompt: str = "", xT=None,
             mask=None, sample_name: str = "sample", semantic: bool = True,
-            ablation: str | None = None) -> dict:
+            ablation: str | None = None, vT_path: str | None = None) -> dict:
         """Pixel-space IF edit (reference edit.py:1744-2028). semantic=True
         uses the direct/jacobian prompt directions, else the subspace
         iteration; ablation 'diffedit' runs the masked sampler, 'sega' the
         edit-guided tail denoise (reference edit.py:2000-2007), both instead
-        of the basis machinery."""
+        of the basis machinery. vT_path loads a saved direction file instead
+        of computing (direction transfer)."""
         cfg = self.cfg
         prompts = self.prompt_set(for_prompt, edit_prompt)
         h, w, c = self.sample_shape
@@ -277,13 +308,49 @@ class IFEditPipeline:
                 save_image_grid(img, os.path.join(out_dir, "diffedit.png"))
             return {"image": img}
 
-        # basis memoization with the reference's all-or-nothing file
-        # semantics (edit.py:1790-1810 reloads u/vT-modify + u/vT-null when
-        # every file of the configured rank/edit_t/mask exists, skipping the
-        # power iteration on the resumed run)
+        if vT_path:
+            vT = jnp.asarray(load_directions(vT_path)[0])
+        else:
+            vT = self._resolve_basis_xt(xt, prompts, mask, out_dir, semantic)
+
+        strip = x_space_guidance_strip(
+            jnp.asarray(xt), vT[0], scale=cfg.x_space_guidance_scale,
+            edit_step=cfg.x_space_guidance_edit_step,
+            num_steps=cfg.x_space_guidance_num_step, vis_num=cfg.vis_num)
+        # tile-aligned chunked / DP-sharded completion denoise; IF's PMP
+        # output IS pixel space, so pixel_output converts the strip itself
+        x0 = self.run_batched(
+            lambda ss: self.forward_steps(ss, prompts, "null+(for-null)",
+                                          self.edit_t_idx, None), strip)
+        if cfg.pixel_output:
+            fn = self._jit(("px", x0.shape[0]),
+                           lambda: jax.jit(to_uint8_pixels_device))
+            x0 = fn(x0)
+        img = np.asarray(x0)
+        if cfg.save_images:
+            self._submit_io(save_image_grid, img,
+                            os.path.join(out_dir, "edit-if-stage1.png"))
+        if self.superres is not None:
+            img = self.superres(img, for_prompt)
+            if cfg.save_images:
+                self._submit_io(save_image_grid, img,
+                                os.path.join(out_dir, "edit-if-stage2.png"))
+        self.flush_io()
+        return {"xt": np.asarray(xt), "vT": np.asarray(vT), "image": img,
+                "out_dir": out_dir}
+
+    def _resolve_basis_xt(self, xt, prompts: dict, mask, out_dir: str,
+                          semantic: bool):
+        """Basis memoization with the reference's all-or-nothing file
+        semantics (edit.py:1790-1810 reloads u/vT-modify + u/vT-null when
+        every file of the configured rank/edit_t/mask exists, skipping the
+        power iteration on the resumed run); fresh non-semantic modify+null
+        fuse into one dual program when their padded probe batches agree.
+        Mask identity is part of the cache key (reference:
+        select-mask{mask_index} in the basis dir, edit.py:1790)."""
+        cfg = self.cfg
+        self.flush_io()   # cache-existence checks must see queued writes
         basis_dir = os.path.join(out_dir, "basis")
-        # mask identity is part of the key (reference: select-mask{mask_index}
-        # in the basis dir, edit.py:1790) — a --mask_index switch recomputes
         tag = mask_cache_tag(mask)
         modify_path = os.path.join(
             basis_dir, f"vT-modify-{cfg.edit_t}T-rank{cfg.pca_rank}-{tag}.npz")
@@ -293,6 +360,14 @@ class IFEditPipeline:
         cached = (not semantic and os.path.exists(modify_path)
                   and (not cfg.null_space_projection
                        or os.path.exists(null_path)))
+        mesh_sz = cfg.mesh_probe if cfg.mesh_probe > 1 else None
+        vT_null_pre = None
+        use_dual = (
+            not semantic and not cached and cfg.null_space_projection
+            and mask is not None
+            and padded_probe_count(cfg.pca_rank, mesh_size=mesh_sz)
+            == padded_probe_count(cfg.pca_rank_null, mesh_size=mesh_sz))
+
         if cached:
             vT_modify = jnp.asarray(load_directions(modify_path)[0])
         elif semantic:
@@ -302,47 +377,45 @@ class IFEditPipeline:
             else:
                 vT_modify = self.direct_direction(xt, prompts,
                                                   cfg.tilda_v_score_type)
+        elif use_dual:
+            t0 = time.time()
+            basis, nbasis = self.extract_dual_basis(
+                xt, prompts, "null+(for-null)", mask,
+                cfg.pca_rank, cfg.pca_rank_null)
+            vT_modify = jax.block_until_ready(basis.vT)
+            vT_null_pre = nbasis.vT
+            print(f"power method runtime == {time.time() - t0:.2f}s "
+                  f"({int(basis.iters)} iters, fused modify+null)")
+            self._submit_io(save_directions, modify_path,
+                            np.asarray(vT_modify), edit_t=cfg.edit_t)
+            self._submit_io(save_directions, null_path,
+                            np.asarray(vT_null_pre), edit_t=cfg.edit_t)
         else:
             t0 = time.time()
             vT_modify = jax.block_until_ready(self.extract_basis(
                 xt, prompts, "null+(for-null)", mask, cfg.pca_rank).vT)
             print(f"power method runtime == {time.time() - t0:.2f}s")
-            save_directions(modify_path, np.asarray(vT_modify),
-                            edit_t=cfg.edit_t)
+            self._submit_io(save_directions, modify_path,
+                            np.asarray(vT_modify), edit_t=cfg.edit_t)
 
         if cfg.null_space_projection:
             if mask is None:
                 raise ValueError("null-space projection requires a mask")
-            if cached:
+            if vT_null_pre is not None:
+                vT_null = vT_null_pre
+            elif cached:
                 vT_null = jnp.asarray(load_directions(null_path)[0])
             else:
                 vT_null = self.extract_basis(xt, prompts, "null+(for-null)",
                                              ~np.asarray(mask, bool),
                                              cfg.pca_rank_null).vT
                 if not semantic:
-                    save_directions(null_path, np.asarray(vT_null),
-                                    edit_t=cfg.edit_t)
+                    self._submit_io(save_directions, null_path,
+                                    np.asarray(vT_null), edit_t=cfg.edit_t)
             vT = null_space_project(vT_modify, vT_null, cfg.pca_rank_null)
         else:
             vT = normalize_rows(vT_modify)
-        save_directions(os.path.join(out_dir, "basis", "vT.npz"), np.asarray(vT))
-
-        strip = x_space_guidance_strip(
-            jnp.asarray(xt), vT[0], scale=cfg.x_space_guidance_scale,
-            edit_step=cfg.x_space_guidance_edit_step,
-            num_steps=cfg.x_space_guidance_num_step, vis_num=cfg.vis_num)
-        from loco_edit_tpu.utils.chunk import map_chunked
-
-        x0 = map_chunked(
-            lambda ss: self.forward_steps(ss, prompts, "null+(for-null)",
-                                          self.edit_t_idx, None),
-            strip, cfg.memory_bound)
-        img = np.asarray(x0)
-        if cfg.save_images:
-            save_image_grid(img, os.path.join(out_dir, "edit-if-stage1.png"))
-        if self.superres is not None:
-            img = self.superres(img, for_prompt)
-            if cfg.save_images:
-                save_image_grid(img, os.path.join(out_dir, "edit-if-stage2.png"))
-        return {"xt": np.asarray(xt), "vT": np.asarray(vT), "image": img,
-                "out_dir": out_dir}
+        self._submit_io(save_directions,
+                        os.path.join(out_dir, "basis", "vT.npz"),
+                        np.asarray(vT))
+        return vT
