@@ -1,41 +1,54 @@
-"""Warm-pipeline edit server.
+"""Warm-pipeline edit server — all four engines.
 
 The editing workflow's cost profile is cold-start dominated: the first
-flagship edit pays ~minutes of XLA compilation + executable loads, while a
-warm pipeline serves the same edit in ~5.4 s on one v5e chip (BENCH.md). This
-module keeps ONE warm `UncondEditPipeline` (jit caches + basis disk cache)
-behind a minimal HTTP API, so interactive editing front-ends get steady-state
-latency. Requests serialize through a lock (one chip, one compute stream);
-scale-out is one process per chip behind any HTTP balancer.
+flagship edit pays ~minutes of XLA compilation + executable loads (SD 810 s /
+LCM 944 s / IF 448 s cold through the tunnel — BENCH.md), while a warm
+pipeline serves the same edit in seconds. This module keeps ONE warm edit
+pipeline (jit caches + basis disk cache) behind a minimal HTTP API, so
+interactive editing front-ends get steady-state latency. The engine follows
+the CLI flags: --model_name picks uncond / SD / LCM / DeepFloyd-IF exactly as
+cli.main does. Requests serialize through a lock (one chip, one compute
+stream); scale-out is one process per chip behind any HTTP balancer.
 
-  POST /edit    {"seed": int | "image": <b64 f32 NHWC bytes>,
+  POST /edit    uncond: {"seed": int | "image": <b64 f32 NHWC bytes>,
                  "pixel": bool? (default true: uint8 PNG payload),
                  "mask_bbox": [y0, y1, x0, x1] | null,
                  "pca_rank": int?, "sample_name": str?}
+                T2I engines add: {"for_prompt": str (required),
+                 "edit_prompt": str?, "semantic": bool? (default: true iff
+                 an edit_prompt is given — text-supervised direction; false
+                 = unsupervised power iteration)}; "seed" seeds zT/xT; the
+                 mask_bbox is in DECODED-image pixel coordinates for SD/LCM
+                 (the pullback output space) and 64px pixel space for IF.
              -> {"strips": {pc: <b64 bytes>}, "shape": [...], "dtype": "float32"
                  | "uint8" (with "pixel": true — on-device PNG-payload
                  conversion, 4x smaller pull+response),
                  "null_space_projection": bool (false = maskless fallback to
                  the unprojected basis), "secs": float}
   POST /edit_batch {"items": [{"seed" | "image", "mask_bbox"?, "sample_name"?},
-                 ...], "pixel": bool?, "pca_rank": int?}
+                 ...], "pixel": bool?, "pca_rank": int?
+                 (+ top-level "for_prompt"/"edit_prompt"/"semantic" for
+                 SD/LCM; IF has no batch API)}
              -> {"results": [<per-item /edit payload>],
                  "null_space_projection": bool, "secs": float}
-                (throughput form: ONE batched inversion program for all image
-                items and one batched forward for the whole set — see
-                pipelines/uncond.py run_edit_batch; projection is a
-                whole-batch property, so ONE item without "mask_bbox"
-                downgrades the batch to the unprojected basis — the response
-                flag, batch-level and per item, says which basis was used)
-  POST /invert  {"image": <b64>, "refine_steps": int?}   (exact-inversion
-                fixed-point depth; default = server --inv_refine_steps)
+                (throughput form: ONE batched inversion/generation program
+                for the whole set — see run_edit_batch in
+                pipelines/{uncond,sd,lcm}.py; projection is a whole-batch
+                property, so ONE item without "mask_bbox" downgrades the
+                batch to the unprojected basis — the response flag,
+                batch-level and per item, says which basis was used)
+  POST /invert  {"image": <b64>, "refine_steps": int?}   (uncond + SD;
+                exact-inversion fixed-point depth; default = server
+                --inv_refine_steps)
              -> {"xT": <b64>, "shape": [...]}
   POST /segment {"image": <b64>, "filter_mask": int?, "points_per_side": int?}
              -> {"masks": <b64 uint8 (N, H, W)>, "shape": [...]}   (all-TPU SAM)
-  GET  /health  -> {"ok": true, "edits_served": n}
+  GET  /health  -> {"ok": true, "engine": "...", "edits_served": n}
 
 Run: python -m loco_edit_tpu.serve --model_name FFHQ_P2 \
          --checkpoint_path ffhq_p2.pt --port 8787 [+ any cli.args flags]
+  or: python -m loco_edit_tpu.serve --model_name stable-diffusion-2-1-base \
+         --checkpoint_path sd21_unet.safetensors --for_prompt "a photo" ...
 """
 
 from __future__ import annotations
@@ -66,9 +79,47 @@ class EditService:
     in tests and wrapped by the HTTP handler below)."""
 
     def __init__(self, args):
-        from loco_edit_tpu.cli.main import build_uncond_pipeline
+        if getattr(args, "is_stable_diffusion", False):
+            self.engine = "sd"
+        elif getattr(args, "is_LCM", False):
+            self.engine = "lcm"
+        elif getattr(args, "is_DeepFloyd_IF_diffusion", False):
+            self.engine = "if"
+        else:
+            self.engine = "uncond"
 
-        self.pipe, self.denoiser, self.rng = build_uncond_pipeline(args)
+        if self.engine == "uncond":
+            from loco_edit_tpu.cli.main import build_uncond_pipeline
+
+            self.pipe, self.denoiser, self.rng = build_uncond_pipeline(args)
+            self.sample_shape = self.denoiser.sample_shape   # input space
+            self.mask_shape = (1,) + self.sample_shape       # mask space
+        else:
+            from loco_edit_tpu.cli.main import (build_if_pipeline,
+                                                build_lcm_pipeline,
+                                                build_sd_pipeline)
+
+            builder = {"sd": build_sd_pipeline, "lcm": build_lcm_pipeline,
+                       "if": build_if_pipeline}[self.engine]
+            self.pipe, self.bundle, self.rng = builder(args)
+            self.denoiser = None
+            if self.engine == "if":
+                # IF edits pixels directly: input == mask space
+                self.sample_shape = self.bundle["sample_shape"]
+                self.mask_shape = (1,) + self.sample_shape
+            else:
+                # SD/LCM: the seed samples zT in latent space, but the
+                # pullback output (and hence the mask) lives in the DECODED
+                # image space — derive its shape without running the VAE
+                import jax
+                import jax.numpy as jnp
+
+                self.sample_shape = self.bundle["latent_shape"]
+                img = jax.eval_shape(
+                    self.pipe.decode,
+                    jax.ShapeDtypeStruct((1,) + self.sample_shape,
+                                         jnp.float32))
+                self.mask_shape = tuple(img.shape)
         self.lock = threading.Lock()
         self.edits_served = 0
         self._args = args
@@ -97,8 +148,11 @@ class EditService:
     def _resolve_input(self, req: dict):
         import jax
 
-        h, w, c = self.denoiser.sample_shape
+        h, w, c = self.sample_shape
         if "image" in req and req["image"]:
+            if self.engine in ("sd", "lcm"):
+                raise ValueError(
+                    'SD/LCM /edit takes "seed" (zT); use /invert for images')
             x0 = _unb64(req["image"], (1, h, w, c))
             return x0, None
         seed = int(req.get("seed", 0))
@@ -106,16 +160,29 @@ class EditService:
             jax.random.key(seed), (1, h, w, c), "float32"))
         return None, xT
 
+    def _bbox_mask(self, req: dict) -> np.ndarray | None:
+        """Boolean mask from a [y0, y1, x0, x1] bbox in the engine's mask
+        space (sample pixels for uncond/IF, decoded-image pixels for SD/LCM)."""
+        if not req.get("mask_bbox"):
+            return None
+        y0, y1, x0_, x1 = req["mask_bbox"]
+        mask = np.zeros(self.mask_shape, bool)
+        mask[:, y0:y1, x0_:x1, :] = True
+        return mask
+
     def _cache_name(self, req: dict, rank: int) -> str:
         """Basis caches are disk-keyed by sample_name (pipelines/uncond.py),
         so the default name must be a function of everything that determines
-        the basis — input (seed or image bytes), mask, and rank — or a second
-        request would silently reuse the first request's directions."""
+        the basis — input (seed or image bytes), mask, prompts, and rank —
+        or a second request would silently reuse the first request's
+        directions."""
         if req.get("sample_name"):
             return str(req["sample_name"])
         import hashlib
 
-        ident = {k: req.get(k) for k in ("seed", "image", "mask_bbox")}
+        ident = {k: req.get(k) for k in ("seed", "image", "mask_bbox",
+                                         "for_prompt", "edit_prompt",
+                                         "semantic")}
         digest = hashlib.sha1(
             json.dumps(ident, sort_keys=True).encode()).hexdigest()[:16]
         return f"serve-{digest}-r{rank}"
@@ -152,13 +219,68 @@ class EditService:
         return {"strips": {str(pc): _b64(s) for pc, s in strips.items()},
                 "shape": list(first.shape), "dtype": str(first.dtype)}
 
+    @staticmethod
+    def _semantic_flag(req: dict) -> bool:
+        """Text-supervised direction iff an edit_prompt is given, unless the
+        client says otherwise ("semantic": bool)."""
+        if "semantic" in req:
+            if not isinstance(req["semantic"], bool):
+                raise ValueError('"semantic" must be a JSON boolean')
+            return req["semantic"]
+        return bool(req.get("edit_prompt"))
+
+    def _t2i_prompts(self, req: dict) -> tuple[str, str]:
+        fp = req.get("for_prompt")
+        if not fp or not isinstance(fp, str):
+            raise ValueError(f'"{self.engine}" engine requires "for_prompt"')
+        return fp, str(req.get("edit_prompt") or "")
+
+    def _edit_t2i(self, req: dict) -> dict:
+        """One warm T2I edit (SD / LCM / IF). The engines' own run_* methods
+        do the work; this adapts the request (seeded zT/xT, bbox mask in
+        the pullback output space, semantic switch) and normalizes the
+        response to the /edit strips payload."""
+        for_prompt, edit_prompt = self._t2i_prompts(req)
+        semantic = self._semantic_flag(req)
+        px = self._pixel_flag(req)
+        mask = self._bbox_mask(req)
+        _, zT = self._resolve_input(req)
+        rank = int(req.get("pca_rank") or self.pipe.cfg.pca_rank)
+        name = self._cache_name(req, rank)
+        with self.lock:
+            t0 = time.perf_counter()
+            nsp = (self.pipe.cfg.null_space_projection and mask is not None)
+            over = dict(pixel_output=px, pca_rank=rank,
+                        null_space_projection=nsp)
+            if self.engine == "sd":
+                over["vis_num_pc"] = rank
+            if self.engine == "lcm":
+                over["non_semantic"] = not semantic
+            with self._cfg_overrides(**over):
+                if self.engine == "sd":
+                    out = self.pipe.run_edit_null_space_projection_zt(
+                        for_prompt, edit_prompt, zT=zT, mask=mask,
+                        sample_name=name, semantic=semantic)
+                    strips = out["strips"]
+                elif self.engine == "lcm":
+                    out = self.pipe.run_edit_null_space_projection_zt(
+                        for_prompt, edit_prompt, zT=zT, mask=mask,
+                        sample_name=name)
+                    strips = {0: out["image"]}
+                else:   # if
+                    out = self.pipe.run_edit_null_space_projection_xt(
+                        for_prompt, edit_prompt, xT=zT, mask=mask,
+                        sample_name=name, semantic=semantic)
+                    strips = {0: out["image"]}
+            secs = time.perf_counter() - t0
+            self.edits_served += 1
+        return {**self._strip_payload(strips),
+                "null_space_projection": nsp, "secs": round(secs, 3)}
+
     def edit(self, req: dict) -> dict:
-        h, w, c = self.denoiser.sample_shape
-        mask = None
-        if req.get("mask_bbox"):
-            y0, y1, x0_, x1 = req["mask_bbox"]
-            mask = np.zeros((1, h, w, c), bool)
-            mask[:, y0:y1, x0_:x1, :] = True
+        if self.engine != "uncond":
+            return self._edit_t2i(req)
+        mask = self._bbox_mask(req)
         x0, xT = self._resolve_input(req)
         px = self._pixel_flag(req)
         rank = int(req.get("pca_rank") or self.pipe.cfg.pca_rank)
@@ -189,13 +311,17 @@ class EditService:
         items = req.get("items")
         if not isinstance(items, list) or not items:
             raise ValueError('"items" must be a non-empty list')
+        if self.engine == "if":
+            raise ValueError("the IF engine has no batch API (cascade); "
+                             "POST items to /edit individually")
         px = self._pixel_flag(req)
-        h, w, c = self.denoiser.sample_shape
+        h, w, c = self.sample_shape
+        mh, mw, mc = self.mask_shape[1:]
         rank = int(req.get("pca_rank") or self.pipe.cfg.pca_rank)
         n = len(items)
 
         xTs = np.zeros((n, h, w, c), np.float32)
-        masks = np.zeros((n, h, w, c), bool)
+        masks = np.zeros((n, mh, mw, mc), bool)
         img_rows, img_stack, names = [], [], []
         all_masked = True
         for i, it in enumerate(items):
@@ -216,6 +342,10 @@ class EditService:
                 masks[i] = True
                 all_masked = False
             names.append(it.get("sample_name") or self._cache_name(it, rank))
+
+        if self.engine in ("sd", "lcm"):
+            return self._edit_batch_t2i(req, xTs, masks, names, all_masked,
+                                        px, rank)
 
         with self.lock:
             t0 = time.perf_counter()
@@ -240,8 +370,48 @@ class EditService:
                      "null_space_projection": nsp} for r in results],
                 "null_space_projection": nsp, "secs": round(secs, 3)}
 
+    def _edit_batch_t2i(self, req, zTs, masks, names, all_masked, px, rank):
+        """SD/LCM throughput form: ONE batched generation program runs every
+        seed to edit_t (pipelines/{sd,lcm}.py run_edit_batch)."""
+        for_prompt, edit_prompt = self._t2i_prompts(req)
+        semantic = self._semantic_flag(req)
+        with self.lock:
+            t0 = time.perf_counter()
+            nsp = self.pipe.cfg.null_space_projection and all_masked
+            over = dict(pixel_output=px, pca_rank=rank,
+                        null_space_projection=nsp)
+            if self.engine == "sd":
+                over["vis_num_pc"] = rank
+            if self.engine == "lcm":
+                over["non_semantic"] = not semantic
+            with self._cfg_overrides(**over):
+                if self.engine == "sd":
+                    results = self.pipe.run_edit_batch(
+                        for_prompt, edit_prompt, zTs=zTs, masks=masks,
+                        sample_names=names, semantic=semantic)
+                    payloads = [self._strip_payload(r["strips"])
+                                for r in results]
+                else:
+                    results = self.pipe.run_edit_batch(
+                        for_prompt, edit_prompt, zTs=zTs, masks=masks,
+                        sample_names=names)
+                    payloads = [self._strip_payload({0: r["image"]})
+                                for r in results]
+            secs = time.perf_counter() - t0
+            self.edits_served += len(names)
+        return {"results": [{**p, "null_space_projection": nsp}
+                            for p in payloads],
+                "null_space_projection": nsp, "secs": round(secs, 3)}
+
     def invert(self, req: dict) -> dict:
-        h, w, c = self.denoiser.sample_shape
+        if self.engine in ("lcm", "if"):
+            raise ValueError(f"the {self.engine} engine has no inversion "
+                             "path (reference parity)")
+        # uncond inverts in sample space; SD through the VAE encoder from
+        # decoded-image space (pipelines/sd.py invert)
+        shape = ((1,) + self.sample_shape if self.engine == "uncond"
+                 else self.mask_shape)
+        h, w, c = shape[1:]
         x0 = _unb64(req["image"], (1, h, w, c))
         with self.lock:
             old = self.pipe.cfg.inv_refine_steps
@@ -259,7 +429,9 @@ class EditService:
         from loco_edit_tpu.masks.sam import segment_image_flax_encoder
         from loco_edit_tpu.utils.io import to_uint8
 
-        h, w, c = self.denoiser.sample_shape
+        # masks live in the engine's decoded-image space (== sample space
+        # for uncond/IF)
+        h, w, c = self.mask_shape[1:]
         x0 = _unb64(req["image"], (1, h, w, c))
         # bundle conversion happens OUTSIDE the edit lock (its own init
         # lock); only the device work below contends with /edit
@@ -274,7 +446,8 @@ class EditService:
         return {"masks": payload, "shape": list(masks.shape)}
 
     def health(self) -> dict:
-        return {"ok": True, "edits_served": self.edits_served}
+        return {"ok": True, "engine": self.engine,
+                "edits_served": self.edits_served}
 
 
 def make_server(service: EditService, port: int = 8787) -> ThreadingHTTPServer:
@@ -326,9 +499,13 @@ def main(argv=None):
     args = preset(parse_args(rest))
     service = EditService(args)
     # warm the compile caches before accepting traffic
-    print("warming pipeline (first compile may take minutes on TPU)...",
-          flush=True)
-    service.edit({"seed": 0, "sample_name": "warmup"})
+    print(f"warming {service.engine} pipeline "
+          "(first compile may take minutes on TPU)...", flush=True)
+    warm = {"seed": 0, "sample_name": "warmup"}
+    if service.engine != "uncond":
+        warm["for_prompt"] = args.for_prompt or "a photo"
+        warm["edit_prompt"] = args.edit_prompt or ""
+    service.edit(warm)
     srv = make_server(service, port_args.port)
     print(f"serving on 127.0.0.1:{port_args.port}", flush=True)
     srv.serve_forever()
