@@ -1,0 +1,203 @@
+"""UNSUPERVISED T-LOCO Stable Diffusion edit at production width: the round-5
+execution upgrades measured against the reference's execution pattern.
+
+The round-4 verdict's top finding: pipelines/sd.py shipped the per-PC strip
+serialization the repo itself had measured at 1.65x on uncond (BENCH.md
+round 3), and ran modify+null as two solo basis programs on the same
+Jacobian. This bench quantifies both fixes at the real SD 2.1-base geometry
+(865.9M-param UNet + 512px VAE decode, bf16, per-block remat, synthetic
+params — timing is weight-independent):
+
+  A. strips: the SHIPPED concat form (all PC strips -> ONE tile-aligned
+     chunked 70-step CFG denoise + ONE batched 512px decode) vs the
+     reference-pattern per-PC loop (each PC's small strip denoised AND
+     decoded as its own program, edit.py:1019-1042).
+  B. basis: the SHIPPED fused dual modify+null (one hoisted UNet+VAE
+     linearization, 2x8-probe sweep in two lax.map chunks) vs two solo
+     subspace-iteration programs (reference edit.py:966-999 runs them
+     back-to-back).
+  C. the full unsupervised edit E2E under the shipped defaults
+     (rank-5 modify + rank-5 null, fused, 5 PC strips, vis_num 4).
+
+stderr: details; stdout: one JSON line.
+"""
+
+import dataclasses
+import json
+import os
+import sys
+import tempfile
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def cheap_params(model, *ex):
+    shapes = jax.eval_shape(model.init, jax.random.key(0), *ex)
+
+    def leaf(path, s):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        fill = 1.0 if name == "scale" else 0.01
+        return jnp.full(s.shape, fill, s.dtype)
+
+    return jax.tree_util.tree_map_with_path(leaf, shapes)
+
+
+def main():
+    from loco_edit_tpu.core.rng import seed_everything
+    from loco_edit_tpu.models.sd import (SDUNet, VAEConfig, VAEDecoder,
+                                         sd_preset)
+    from loco_edit_tpu.pipelines.sd import SDEditConfig, SDEditPipeline
+
+    log("devices:", jax.devices())
+    dtype = jnp.bfloat16
+    ucfg = dataclasses.replace(sd_preset("sd21-base", dtype=dtype), remat=True)
+    unet = SDUNet(ucfg)
+    z_ex = jnp.zeros((1, 64, 64, 4), dtype)
+    ctx_ex = jnp.zeros((1, 77, 1024), dtype)
+    uparams = cheap_params(unet, z_ex, jnp.zeros((1,)), ctx_ex)
+
+    vcfg = VAEConfig(dtype=dtype, remat=True)
+    vae = VAEDecoder(vcfg)
+    vparams = cheap_params(vae, z_ex)
+
+    def unet_apply(z, t, context):
+        tt = jnp.broadcast_to(jnp.asarray(t, jnp.float32), (z.shape[0],))
+        return unet.apply(uparams, z.astype(dtype), tt, context.astype(dtype))
+
+    def decode(z):
+        return vae.apply(vparams, z.astype(dtype))
+
+    ctx = jax.random.normal(jax.random.key(3), (1, 77, 1024), jnp.float32) * 0.2
+    prompt_encoder = lambda prompt: jnp.asarray(  # noqa: E731
+        ctx + 0.01 * (len(prompt) % 7), dtype)
+
+    td = tempfile.mkdtemp(prefix="bench_sd_unsup_")
+    # unsupervised protocol: rank-5 modify + rank-5 null (fused-eligible:
+    # both pad to one 8-probe tile), walk every PC, vis_num 4 -> 5 strips
+    # of 7 frames = 35-frame completion batch
+    cfg = SDEditConfig(
+        for_steps=100, inv_steps=100, edit_t=0.7,
+        guidance_scale=7.5, guidance_scale_edit=4.0,
+        x_space_guidance_scale=8.0, x_space_guidance_num_step=4, vis_num=4,
+        vis_num_pc=5, pca_rank=5, pca_rank_null=5, null_space_projection=True,
+        min_iter=9, max_iter=10, convergence_threshold=0.0, probe_chunk=8,
+        compute_dtype="bf16", pixel_output=True,
+        result_folder=td, save_images=False)
+    pipe = SDEditPipeline(unet_apply, decode,
+                          encode=lambda x, key: (_ for _ in ()).throw(
+                              RuntimeError("encode unused: zT given")),
+                          prompt_encoder=prompt_encoder, cfg=cfg,
+                          rng=seed_everything(305186554))
+
+    zT = np.asarray(jax.random.normal(jax.random.key(1), (1, 64, 64, 4)))
+    mask = np.zeros((1, 512, 512, 3), bool)
+    mask[:, 160:352, 128:384] = True
+    prompts = pipe.prompt_set("a photo of a man", "")
+    zt = jnp.asarray(pipe.generate(zT, prompts, "null+(for-null)", 0,
+                                   pipe.edit_t_idx))
+
+    # ---- B. fused dual vs two solo basis programs --------------------------
+    def mat_dual():
+        b, nb = pipe.extract_dual_basis(zt, prompts, "null+(for-null)", mask,
+                                        5, 5)
+        return np.asarray(b.vT), np.asarray(nb.vT)
+
+    def mat_solo():
+        b = np.asarray(pipe.extract_basis(zt, prompts, "null+(for-null)",
+                                          mask, 5).vT)
+        nb = np.asarray(pipe.extract_basis(zt, prompts, "null+(for-null)",
+                                           ~mask, 5).vT)
+        return b, nb
+
+    def best_of(fn, n=2):
+        fn()   # warm/compile
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    dual_s = best_of(mat_dual)
+    solo_s = best_of(mat_solo)
+    log(f"basis: fused dual {dual_s:.2f}s vs two solo {solo_s:.2f}s "
+        f"({solo_s / dual_s:.2f}x, host-materialized)")
+
+    # ---- A. strip rendering: shipped concat vs reference per-PC loop -------
+    vT = jnp.asarray(np.linalg.qr(np.random.default_rng(7).normal(
+        size=(64 * 64 * 4, 5)).astype(np.float32))[0].T)   # 5 orthonormal dirs
+
+    def strips_concat():
+        s, _ = pipe._render_strips_zt(zt, prompts, vT, td)
+        return s
+
+    from loco_edit_tpu.editing import x_space_guidance_strip
+
+    def strips_per_pc():
+        # the reference pattern (edit.py:1019-1042): each PC's 7-frame strip
+        # is its own denoise program AND its own 512px decode
+        out = {}
+        for pc in range(5):
+            strip = x_space_guidance_strip(
+                zt, vT[pc], scale=cfg.x_space_guidance_scale,
+                edit_step=cfg.x_space_guidance_edit_step,
+                num_steps=cfg.x_space_guidance_num_step, vis_num=cfg.vis_num)
+            z0 = pipe.generate(strip, prompts, "null+(for-null)",
+                               pipe.edit_t_idx, None)
+            out[pc] = pipe.decode_strips(z0)   # batch-7 decode per PC
+        return out
+
+    concat_s = best_of(strips_concat)
+    perpc_s = best_of(strips_per_pc)
+    log(f"strips (5 PCs x 7 frames, 70-step CFG + 512px decode): "
+        f"concat {concat_s:.2f}s vs per-PC {perpc_s:.2f}s "
+        f"({perpc_s / concat_s:.2f}x)")
+
+    # ---- C. full unsupervised edit E2E under shipped defaults --------------
+    def once(name):
+        t0 = time.perf_counter()
+        out = pipe.run_edit_null_space_projection_zt(
+            "a photo of a man", "", zT=zT, mask=mask, sample_name=name,
+            semantic=False)
+        assert all(np.asarray(s).shape[1:] == (512, 512, 3)
+                   for s in out["strips"].values())
+        return time.perf_counter() - t0
+
+    t_cold = once("warm")   # compiles already warm from A/B; basis recomputes
+    times = []
+    for i in range(2):
+        # clear the basis disk cache so every run recomputes (E2E protocol)
+        import shutil
+
+        shutil.rmtree(os.path.join(td, f"r{i}"), ignore_errors=True)
+        times.append(once(f"r{i}"))
+    log(f"E2E unsupervised (fused rank-5+5 basis, 5 strips): "
+        f"first {t_cold:.2f}s, runs {[f'{t:.2f}' for t in times]}")
+
+    print(json.dumps({
+        "metric": "sd21_e2e_unsupervised_fused_rank5_0.7T_512px",
+        "value": round(min(times), 3), "unit": "s",
+        "strips_concat_s": round(concat_s, 3),
+        "strips_per_pc_s": round(perpc_s, 3),
+        "strips_speedup": round(perpc_s / concat_s, 3),
+        "basis_dual_s": round(dual_s, 3),
+        "basis_solo_s": round(solo_s, 3),
+        "basis_speedup": round(solo_s / dual_s, 3),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
