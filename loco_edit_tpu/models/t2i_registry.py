@@ -75,7 +75,11 @@ def load_sd_bundle(args, lcm: bool = False):
     # production width on 16G chips: without it the 4096-token attention
     # levels pin ~5G of f32 logits as linearize residuals across the whole
     # subspace iteration (measured 21.5G/15.75G OOM, scripts/bench_t2i_basis.py)
-    cfg = dataclasses.replace(cfg, remat=True)
+    # dots_no_batch keeps weight-matmul outputs (a few MB/block) and
+    # recomputes only batched dots: measured 8.73 s vs 8.91 s (1.02x) on the
+    # rank-5 0.7T basis with no memory regression
+    # (scripts/bench_sd_remat_policy.py, BENCH.md round 5)
+    cfg = dataclasses.replace(cfg, remat=True, remat_policy="dots_no_batch")
     model = SDUNet(cfg)
     ctx0 = jnp.zeros((1, 77, cfg.cross_attention_dim))
     z0 = jnp.zeros((1, cfg.sample_size, cfg.sample_size, 4))

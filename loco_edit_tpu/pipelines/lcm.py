@@ -378,7 +378,10 @@ class LCMEditPipeline(EngineExec):
         for i in range(n):
             out_dir = os.path.join(cfg.result_folder, names[i])
             os.makedirs(out_dir, exist_ok=True)
-            mask_i = None if masks is None else masks[i:i + 1]
+            # all-False row == maskless sample (see pipelines/sd.py
+            # run_edit_batch): a zero mask weight would NaN the direction
+            mask_i = (masks[i:i + 1] if masks is not None
+                      and np.asarray(masks[i]).any() else None)
             vT = self._resolve_basis(zts[i:i + 1], for_prompt, edit_prompt,
                                      mask_i, out_dir)
             img, den = self._render_strip(zts[i:i + 1], for_prompt, vT,

@@ -513,7 +513,12 @@ class SDEditPipeline(EngineExec):
         for i in range(n):
             out_dir = os.path.join(cfg.result_folder, names[i])
             os.makedirs(out_dir, exist_ok=True)
-            mask_i = None if masks is None else masks[i:i + 1]
+            # an all-False row means "this sample has no mask" (the serve
+            # batch builds dense rows): a zero output weight would make the
+            # basis/delta direction 0/0 = NaN, so treat it as None exactly
+            # like the single-sample API's maskless call
+            mask_i = (masks[i:i + 1] if masks is not None
+                      and np.asarray(masks[i]).any() else None)
             vT = self._resolve_basis_zt(zts[i:i + 1], prompts, mask_i,
                                         out_dir, semantic)
             strips, z0_strips = self._render_strips_zt(

@@ -56,7 +56,7 @@ def main():
     log("devices:", jax.devices())
     dtype = jnp.bfloat16
     ucfg = dataclasses.replace(sd_preset("lcm-dreamshaper-v7", dtype=dtype),
-                               remat=True)
+                               remat=True, remat_policy="dots_no_batch")
     unet = SDUNet(ucfg)
     z_ex = jnp.zeros((1, 64, 64, 4), dtype)
     ctx_ex = jnp.zeros((1, 77, 768), dtype)

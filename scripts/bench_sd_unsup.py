@@ -63,7 +63,8 @@ def main():
 
     log("devices:", jax.devices())
     dtype = jnp.bfloat16
-    ucfg = dataclasses.replace(sd_preset("sd21-base", dtype=dtype), remat=True)
+    ucfg = dataclasses.replace(sd_preset("sd21-base", dtype=dtype),
+                           remat=True, remat_policy="dots_no_batch")
     unet = SDUNet(ucfg)
     z_ex = jnp.zeros((1, 64, 64, 4), dtype)
     ctx_ex = jnp.zeros((1, 77, 1024), dtype)

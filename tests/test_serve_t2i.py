@@ -101,6 +101,13 @@ def test_lcm_serve_edit(tmp_path, monkeypatch):
                            "items": [{"seed": 2}, {"seed": 3}]})
     assert len(outb["results"]) == 2
     assert outb["null_space_projection"] is False   # maskless batch
+    for r in outb["results"]:
+        # maskless rows must NOT zero the direction (all-False mask row
+        # would make the prompt-delta 0/0 = NaN): pixels must be finite
+        # and non-constant
+        s = _strip(r)
+        assert np.all(np.isfinite(np.asarray(s, np.float32)))
+        assert s.min() != s.max()
 
     with pytest.raises(ValueError):
         svc.invert({"image": ""})    # LCM has no inversion path
