@@ -72,11 +72,23 @@ def program_flops_lowered(jitted, *args) -> float | None:
     ~10 min cold tunnel compile per shape — this is what lets the MFU
     section run UNGUARDED even when the headline's cold compiles already ate
     the driver's wall-clock budget (BENCH_r04.json: every extra was
-    guard-skipped at 827 s)."""
+    guard-skipped at 827 s).
+
+    The axon PJRT plugin returns None from lowered cost_analysis (verified
+    round 5), so on failure the program is re-lowered for the in-process CPU
+    backend — FLOP counting is structural, the CPU platform coexists with
+    the plugin, and this costs one extra trace (seconds), never a compile."""
     try:
-        return float(jitted.lower(*args).cost_analysis()["flops"])
+        ca = jitted.lower(*args).cost_analysis()
+        if ca is not None and "flops" in ca:
+            return float(ca["flops"])
     except Exception as e:  # noqa: BLE001
-        log("lowered cost_analysis unavailable:", e)
+        log("lowered cost_analysis failed:", e)
+    try:
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            return float(jitted.lower(*args).cost_analysis()["flops"])
+    except Exception as e:  # noqa: BLE001
+        log("CPU-backend lowered cost_analysis unavailable:", e)
         return None
 
 
