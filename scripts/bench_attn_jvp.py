@@ -61,19 +61,27 @@ def make_layer(key, n_tok, width, heads, head_dim, jvp):
 
 
 def sweep_seconds(f, x, key):
-    """10 chained tangent+cotangent 16-probe sweeps in ONE program."""
-    _, jl = jax.linearize(f, x)
-    vt = jax.linear_transpose(jl, x)
+    """10 chained tangent+cotangent 16-probe sweeps in ONE program.
 
-    def sweep(v, _):
-        u = jax.vmap(lambda vi: jl(vi.reshape(x.shape).astype(x.dtype)))(v)
-        vp = jax.vmap(lambda ui: vt(ui)[0].reshape(-1).astype(jnp.float32))(u)
-        vp = vp / jnp.linalg.norm(vp, axis=1, keepdims=True)
-        return vp, jnp.zeros(())
+    linearize/linear_transpose happen INSIDE the jitted program — outside,
+    the residuals (f32 logits at 4096 tokens: hundreds of MB) become jit
+    constants and blow the tunnel's compile-request size limit (HTTP 413)."""
+    def prog(v):
+        _, jl = jax.linearize(f, x)
+        vt = jax.linear_transpose(jl, x)
+
+        def sweep(v, _):
+            u = jax.vmap(lambda vi: jl(vi.reshape(x.shape).astype(x.dtype)))(v)
+            vp = jax.vmap(
+                lambda ui: vt(ui)[0].reshape(-1).astype(jnp.float32))(u)
+            vp = vp / jnp.linalg.norm(vp, axis=1, keepdims=True)
+            return vp, jnp.zeros(())
+
+        return jax.lax.scan(sweep, v, None, length=SWEEPS)[0]
 
     v0 = jax.random.normal(key, (PROBES, x.size), jnp.float32)
     v0 = v0 / jnp.linalg.norm(v0, axis=1, keepdims=True)
-    prog = jax.jit(lambda v: jax.lax.scan(sweep, v, None, length=SWEEPS)[0])
+    prog = jax.jit(prog)
     prog(v0).block_until_ready()
     times = []
     for _ in range(3):
