@@ -67,7 +67,8 @@ def main():
     results = {}
     for label, remat, policy in [("remat_full", True, None),
                                  ("remat_dots_no_batch", True,
-                                  "dots_no_batch")]:
+                                  "dots_no_batch"),
+                                 ("no_remat", False, None)]:
         ucfg = dataclasses.replace(sd_preset("sd21-base", dtype=dtype),
                                    remat=remat, remat_policy=policy)
         unet = SDUNet(ucfg)
