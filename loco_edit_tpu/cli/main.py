@@ -116,6 +116,11 @@ def _sam_mask(args, x0, make_image=None):
 
 def main(argv=None):
     from loco_edit_tpu.cli.args import parse_args, preset
+    from loco_edit_tpu.core.cache import enable_compile_cache
+
+    # persistent compile cache (repo .jax_cache / LOCO_COMPILE_CACHE): reruns
+    # of the same experiment geometry skip the minutes-long TPU cold compile
+    enable_compile_cache()
 
     args = parse_args(argv)
     if args.verify_load:

@@ -492,9 +492,17 @@ def main(argv=None):
 
     from loco_edit_tpu.cli.args import parse_args, preset
 
+    from loco_edit_tpu.core.cache import enable_compile_cache
+
     outer = argparse.ArgumentParser("loco-edit-tpu serve", add_help=False)
     outer.add_argument("--port", type=int, default=8787)
     port_args, rest = outer.parse_known_args(argv)
+
+    # persistent compile cache: a server restart with unchanged shapes warms
+    # from disk in seconds instead of re-paying the 400-950 s cold compile
+    cache_dir = enable_compile_cache()
+    if cache_dir:
+        print(f"compile cache: {cache_dir}", flush=True)
 
     args = preset(parse_args(rest))
     service = EditService(args)
