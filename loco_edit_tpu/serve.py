@@ -513,7 +513,18 @@ def main(argv=None):
     if service.engine != "uncond":
         warm["for_prompt"] = args.for_prompt or "a photo"
         warm["edit_prompt"] = args.edit_prompt or ""
-    service.edit(warm)
+    # Long cold compiles can hit transient backend drops (remote-compile
+    # services close idle/long connections); each retry resumes from the
+    # programs already landed in the persistent compile cache.
+    for attempt in range(3):
+        try:
+            service.edit(warm)
+            break
+        except Exception as e:  # noqa: BLE001 — transient backend failures
+            if attempt == 2 or "UNAVAILABLE" not in str(e):
+                raise
+            print(f"warm-up compile attempt {attempt + 1} failed "
+                  f"({e}); retrying...", flush=True)
     srv = make_server(service, port_args.port)
     print(f"serving on 127.0.0.1:{port_args.port}", flush=True)
     srv.serve_forever()
