@@ -66,6 +66,13 @@ def _auto_probe_chunk(configured: int | None,
       fp32: the unchunked sweep needs >21G of HLO temps (measured OOM,
         dominated by the f32 VJP buffers through the decoder) -> default 2.
 
+    Under the memory-lean attention JVP (the default, ops/attention.py) the
+    logits-sized tangent buffers halve and TWO tiles fit: the fused dual
+    16-probe program measured 14.55 s at chunk 16 vs 16.03 s at chunk 8
+    (1.10x, scripts/bench_sd_probe_chunk.py) with no OOM -> bf16 default 16
+    (one chunk for the dual program, still one chunk for a rank<=8 solo
+    basis). LOCO_ATTN_JVP=ad restores plain autodiff and the 8-probe cap.
+
     --probe_chunk overrides either way."""
     if configured is not None:
         return configured
@@ -74,7 +81,8 @@ def _auto_probe_chunk(configured: int | None,
             # --dtype fp16 maps to bfloat16 compute (t2i_registry.py
             # load_sd_bundle), so it gets the bf16 full-tile default too
             if compute_dtype in ("bf16", "bfloat16", "fp16", "float16"):
-                return 8
+                lean = os.environ.get("LOCO_ATTN_JVP", "lean") != "ad"
+                return 16 if lean else 8
             return 2
     except RuntimeError:
         pass

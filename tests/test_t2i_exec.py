@@ -296,3 +296,22 @@ def test_if_vt_transfer(if_make, monkeypatch):
         "a cat", "", mask=mask, sample_name="s0t", semantic=False,
         vT_path=vt_path)
     np.testing.assert_allclose(out2["image"], out["image"], atol=1e-5)
+
+
+def test_auto_probe_chunk_defaults(monkeypatch):
+    """bf16 TPU default rises to a 16-probe chunk under the lean attention
+    JVP (measured 1.10x on the fused dual, scripts/bench_sd_probe_chunk.py);
+    LOCO_ATTN_JVP=ad restores the plain-autodiff 8-probe HBM cap."""
+    from loco_edit_tpu.pipelines import sd
+
+    monkeypatch.setattr(sd.jax, "default_backend", lambda: "tpu")
+    monkeypatch.delenv("LOCO_ATTN_JVP", raising=False)
+    assert sd._auto_probe_chunk(None, "bf16") == 16
+    assert sd._auto_probe_chunk(None, "fp16") == 16
+    assert sd._auto_probe_chunk(None, "fp32") == 2
+    assert sd._auto_probe_chunk(4, "bf16") == 4
+    monkeypatch.setenv("LOCO_ATTN_JVP", "ad")
+    assert sd._auto_probe_chunk(None, "bf16") == 8
+    monkeypatch.setattr(sd.jax, "default_backend", lambda: "cpu")
+    monkeypatch.delenv("LOCO_ATTN_JVP", raising=False)
+    assert sd._auto_probe_chunk(None, "bf16") is None
